@@ -1,0 +1,191 @@
+"""Host-side KoalaBear arithmetic on numpy arrays (canonical form, uint32/uint64).
+
+Used for witness generation, the VM runner, test oracles, and anywhere
+control-flow-heavy host code needs field math. Device-side (TPU) arithmetic
+lives in `jnp_field.py` (Montgomery form on uint32 lanes).
+
+Semantics mirror the reference field layer
+(/root/reference/crates/backend/field, crates/backend/koala-bear) but the
+implementation is numpy-vectorized rather than SIMD-intrinsic Rust.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import EXT_DEGREE, P, TWO_ADIC_GENERATORS, TWO_ADICITY
+
+PNP = np.uint64(P)
+
+
+def fa(x) -> np.ndarray:
+    """Coerce to a canonical uint32 field array."""
+    a = np.asarray(x)
+    if a.dtype == np.uint32:
+        return a
+    return (a.astype(np.int64) % P).astype(np.uint32)
+
+
+def add(a, b):
+    s = a.astype(np.uint64) + b.astype(np.uint64)
+    return np.where(s >= PNP, s - PNP, s).astype(np.uint32)
+
+
+def sub(a, b):
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    return np.where(a >= b, a - b, a + PNP - b).astype(np.uint32)
+
+
+def neg(a):
+    a = np.asarray(a, np.uint64)
+    return np.where(a == 0, a, PNP - a).astype(np.uint32)
+
+
+def mul(a, b):
+    return ((a.astype(np.uint64) * b.astype(np.uint64)) % PNP).astype(np.uint32)
+
+
+def pow_scalar(a: int, e: int) -> int:
+    return pow(int(a), int(e), P)
+
+
+def inv(a):
+    """Element-wise inverse via Fermat (vectorized square-and-multiply)."""
+    a = np.asarray(a, np.uint32)
+    e = P - 2
+    result = np.ones_like(a)
+    base = a
+    while e:
+        if e & 1:
+            result = mul(result, base)
+        base = mul(base, base)
+        e >>= 1
+    return result
+
+
+def batch_inv(a):
+    """Montgomery batch inversion: one inversion for n elements."""
+    a = np.asarray(a, np.uint32).ravel()
+    n = a.size
+    if n == 0:
+        return a
+    prefix = np.empty(n, np.uint32)
+    acc = np.uint32(1)
+    for i in range(n):  # small-n host helper; use inv() for big arrays
+        prefix[i] = acc
+        acc = np.uint32((int(acc) * int(a[i])) % P)
+    total_inv = np.uint32(pow(int(acc), P - 2, P))
+    out = np.empty(n, np.uint32)
+    for i in range(n - 1, -1, -1):
+        out[i] = np.uint32((int(total_inv) * int(prefix[i])) % P)
+        total_inv = np.uint32((int(total_inv) * int(a[i])) % P)
+    return out
+
+
+def two_adic_generator(bits: int) -> int:
+    assert 0 <= bits <= TWO_ADICITY
+    return TWO_ADIC_GENERATORS[bits]
+
+
+# ----------------------------------------------------------------------------
+# Quintic extension: arrays with trailing axis of size 5.
+# ----------------------------------------------------------------------------
+
+
+def eadd(a, b):
+    return add(a, b)
+
+
+def esub(a, b):
+    return sub(a, b)
+
+
+def emul(a, b):
+    """Extension mul over F[X]/(X^5 + X^2 - 1); trailing axis = 5 coeffs.
+
+    Same reduction schedule as the reference quintic_mul
+    (quintic_extension/extension.rs:529-549).
+    """
+    a = np.asarray(a, np.uint32)
+    b = np.asarray(b, np.uint32)
+    a64 = a.astype(np.uint64)
+    b64 = b.astype(np.uint64)
+    # full convolution in uint64: max term 5 * (2^31)^2 < 2^64, safe.
+    c = [np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), np.uint64)
+         for _ in range(9)]
+    for i in range(5):
+        for j in range(5):
+            c[i + j] = c[i + j] + a64[..., i] * b64[..., j]
+    for k in range(9):
+        c[k] = c[k] % PNP
+    # X^{5+k} = X^k - X^{2+k}
+    for k in range(3, -1, -1):
+        hi = c[5 + k]
+        c[k] = (c[k] + hi) % PNP
+        c[k + 2] = (c[k + 2] + PNP - hi) % PNP
+    return np.stack([c[i].astype(np.uint32) for i in range(5)], axis=-1)
+
+
+def escalar_mul(a, s):
+    """Extension * base-field scalar (broadcast over trailing axis)."""
+    return mul(np.asarray(a, np.uint32), np.asarray(s, np.uint32)[..., None])
+
+
+def efrom_base(x):
+    x = np.asarray(x, np.uint32)
+    out = np.zeros(x.shape + (EXT_DEGREE,), np.uint32)
+    out[..., 0] = x
+    return out
+
+
+def _efrobenius(a, frob_rows):
+    out = np.zeros_like(a)
+    out[..., 0] = a[..., 0]
+    for i in range(4):
+        for j in range(5):
+            out[..., j] = add(out[..., j], mul(a[..., i + 1], frob_rows[i][j]))
+    return out
+
+
+_FROB = None
+
+
+def efrobenius(a, count: int = 1):
+    from .constants import FROBENIUS_MATRIX
+
+    global _FROB
+    if _FROB is None:
+        _FROB = [[np.uint32(v) for v in row] for row in FROBENIUS_MATRIX]
+    a = np.asarray(a, np.uint32)
+    for _ in range(count % 5):
+        a = _efrobenius(a, _FROB)
+    return a
+
+
+def einv(a):
+    """Extension inverse via norm map (extension.rs:585-606)."""
+    a = np.asarray(a, np.uint32)
+    a_q = efrobenius(a)
+    a_q_qsq = efrobenius(emul(a, a_q))
+    prod_conj = emul(a_q_qsq, efrobenius(a_q_qsq, 2))
+    # norm = first coefficient of a * prod_conj (lands in base field)
+    pc = prod_conj
+    norm = mul(a[..., 0], pc[..., 0])
+    norm = add(norm, mul(a[..., 1], pc[..., 4]))
+    norm = add(norm, mul(a[..., 2], pc[..., 3]))
+    norm = add(norm, mul(a[..., 3], pc[..., 2]))
+    norm = add(norm, mul(a[..., 4], sub(pc[..., 1], pc[..., 4])))
+    return escalar_mul(prod_conj, inv(norm))
+
+
+def epow(a, e: int):
+    a = np.asarray(a, np.uint32)
+    result = efrom_base(np.ones(a.shape[:-1], np.uint32))
+    base = a
+    while e:
+        if e & 1:
+            result = emul(result, base)
+        base = emul(base, base)
+        e >>= 1
+    return result
