@@ -1,0 +1,292 @@
+"""Host-side (numpy) multilinear polynomial toolkit.
+
+Conventions follow the reference poly layer (crates/backend/poly):
+  * Evaluation tables are length 2^n with **big-endian** variable order:
+    index i has binary decomposition (x_1..x_n), x_1 = MSB = point[0].
+  * `fold` fixes the FIRST variable (MSB): out[i] = m[i] + a*(m[i+half]-m[i])
+    (utils.rs:162-186); `fold_lsb` fixes the LAST variable
+    (utils.rs:94-115).
+  * `expand_from_univariate(y, n) = [y, y^2, y^4, ...]` (point.rs:51-60).
+
+Base-field tables: uint32 (N,). Extension tables: uint32 (N, 5).
+Extension scalars: uint32 (5,).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import np_field as nf
+from ..field.constants import EXT_DEGREE, P
+
+EONE = np.array([1, 0, 0, 0, 0], np.uint32)
+EZERO = np.zeros(5, np.uint32)
+
+
+def is_ext(arr: np.ndarray) -> bool:
+    return arr.ndim >= 1 and arr.shape[-1] == EXT_DEGREE and arr.ndim == 2
+
+
+def efrom_base_table(evals: np.ndarray) -> np.ndarray:
+    out = np.zeros(evals.shape + (EXT_DEGREE,), np.uint32)
+    out[..., 0] = evals
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Evaluation
+# ----------------------------------------------------------------------------
+
+
+def eval_mle(evals: np.ndarray, point: np.ndarray) -> np.ndarray:
+    """Evaluate an MLE table at an extension point. Returns (5,) EF scalar.
+
+    evals: (2^n,) base or (2^n, 5) extension; point: (n, 5).
+    """
+    point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
+    n = len(point)
+    assert evals.shape[0] == 1 << n
+    cur = evals
+    for k in range(n):
+        half = cur.shape[0] // 2
+        lo, hi = cur[:half], cur[half:]
+        diff = nf.sub(hi, lo)
+        x = point[k]
+        if cur.ndim == 1:  # base-field table: scalar-mul into EF
+            term = nf.escalar_mul(np.broadcast_to(x, (half, EXT_DEGREE)), diff)
+            cur = nf.eadd(efrom_base_table(lo), term)
+        else:
+            term = nf.emul(diff, np.broadcast_to(x, (half, EXT_DEGREE)))
+            cur = nf.eadd(lo, term)
+    if cur.ndim == 1:
+        return efrom_base_table(cur)[0]
+    return cur[0]
+
+
+def eval_mle_base_point(evals: np.ndarray, point: np.ndarray) -> np.ndarray:
+    """Evaluate with a base-field point: point (n,) uint32."""
+    point = np.asarray(point, np.uint32).ravel()
+    cur = np.asarray(evals)
+    for x in point:
+        half = cur.shape[0] // 2
+        diff = nf.sub(cur[half:], cur[:half])
+        cur = nf.add(cur[:half],
+                     nf.mul(diff, np.broadcast_to(np.uint32(x), diff.shape)))
+    return cur[0]
+
+
+# ----------------------------------------------------------------------------
+# Folds
+# ----------------------------------------------------------------------------
+
+
+def fold(m: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Fix the FIRST (most-significant) variable to alpha (EF scalar)."""
+    half = m.shape[0] // 2
+    lo, hi = m[:half], m[half:]
+    diff = nf.sub(hi, lo)
+    alpha = np.asarray(alpha, np.uint32)
+    if m.ndim == 1:
+        term = nf.escalar_mul(np.broadcast_to(alpha, (half, EXT_DEGREE)), diff)
+        return nf.eadd(efrom_base_table(lo), term)
+    return nf.eadd(lo, nf.emul(diff, np.broadcast_to(alpha, (half, EXT_DEGREE))))
+
+
+def fold_lsb(m: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Fix the LAST (least-significant) variable to alpha (EF scalar)."""
+    lo = m[0::2]
+    hi = m[1::2]
+    diff = nf.sub(hi, lo)
+    alpha = np.asarray(alpha, np.uint32)
+    half = lo.shape[0]
+    if m.ndim == 1:
+        term = nf.escalar_mul(np.broadcast_to(alpha, (half, EXT_DEGREE)), diff)
+        return nf.eadd(efrom_base_table(lo), term)
+    return nf.eadd(lo, nf.emul(diff, np.broadcast_to(alpha, (half, EXT_DEGREE))))
+
+
+def fold_at_bit(m: np.ndarray, alpha: np.ndarray, bit: int) -> np.ndarray:
+    """Fix the variable at `bit` positions from the LSB (utils.rs:117-160)."""
+    if bit == 0:
+        return fold_lsb(m, alpha)
+    n = m.shape[0]
+    shape_hi = n >> (bit + 1)
+    view = m.reshape((shape_hi, 2, 1 << bit) + m.shape[1:])
+    lo = view[:, 0].reshape((n // 2,) + m.shape[1:])
+    hi = view[:, 1].reshape((n // 2,) + m.shape[1:])
+    diff = nf.sub(hi, lo)
+    alpha = np.asarray(alpha, np.uint32)
+    half = lo.shape[0]
+    if m.ndim == 1:
+        term = nf.escalar_mul(np.broadcast_to(alpha, (half, EXT_DEGREE)), diff)
+        return nf.eadd(efrom_base_table(lo), term)
+    return nf.eadd(lo, nf.emul(diff, np.broadcast_to(alpha, (half, EXT_DEGREE))))
+
+
+# ----------------------------------------------------------------------------
+# eq tables
+# ----------------------------------------------------------------------------
+
+
+def eval_eq(point: np.ndarray, scalar: np.ndarray | None = None) -> np.ndarray:
+    """eq-table (2^n, 5): out[x] = scalar * eq(x, point), big-endian x.
+
+    (eq_mle.rs:16-26)"""
+    point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
+    out = (EONE if scalar is None else np.asarray(scalar, np.uint32))[None, :]
+    for alpha in point:
+        a = np.broadcast_to(alpha, out.shape)
+        hi = nf.emul(out, a)
+        lo = nf.esub(out, hi)  # out*(1-alpha)
+        out = np.stack([lo, hi], axis=1).reshape(-1, EXT_DEGREE)
+    return out
+
+
+def eq_poly_outside(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """eq(a, b) for two EF points (n,5) each (point.rs:77-91)."""
+    a = np.asarray(a, np.uint32).reshape(-1, EXT_DEGREE)
+    b = np.asarray(b, np.uint32).reshape(-1, EXT_DEGREE)
+    acc = EONE.copy()
+    for l, r in zip(a, b):
+        lr = nf.emul(l, r)
+        term = nf.esub(nf.eadd(EONE, nf.eadd(lr, lr)), nf.eadd(l, r))
+        acc = nf.emul(acc, term)
+    return acc
+
+
+def expand_from_univariate(y: np.ndarray, n: int) -> np.ndarray:
+    """[y, y^2, y^4, ...] (point.rs:51-60). y: (5,) -> (n, 5)."""
+    out = []
+    cur = np.asarray(y, np.uint32)
+    for _ in range(n):
+        out.append(cur)
+        cur = nf.emul(cur, cur)
+    return np.stack(out) if out else np.zeros((0, EXT_DEGREE), np.uint32)
+
+
+# ----------------------------------------------------------------------------
+# next / padding MLEs (verifier-side helpers)
+# ----------------------------------------------------------------------------
+
+
+def next_mle(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """MLE of the 'y = x + 1' relation with 2^n-1 wraparound fixed point
+    (next_mle.rs:9-29)."""
+    x = np.asarray(x, np.uint32).reshape(-1, EXT_DEGREE)
+    y = np.asarray(y, np.uint32).reshape(-1, EXT_DEGREE)
+    n = len(x)
+    eq_prefix = [EONE.copy()]
+    for i in range(n):
+        xy = nf.emul(x[i], y[i])
+        eq_i = nf.esub(nf.eadd(EONE, nf.eadd(xy, xy)), nf.eadd(x[i], y[i]))
+        eq_prefix.append(nf.emul(eq_prefix[i], eq_i))
+    low_suffix = [EONE.copy() for _ in range(n + 1)]
+    for i in range(n - 1, -1, -1):
+        low_suffix[i] = nf.emul(low_suffix[i + 1],
+                                nf.emul(x[i], nf.esub(EONE, y[i])))
+    total = EZERO.copy()
+    for k in range(n):
+        carry = nf.emul(nf.esub(EONE, x[k]), y[k])
+        total = nf.eadd(total, nf.emul(eq_prefix[k],
+                                       nf.emul(carry, low_suffix[k + 1])))
+    prod = EONE.copy()
+    for v in list(x) + list(y):
+        prod = nf.emul(prod, v)
+    return nf.eadd(total, prod)
+
+
+def matrix_next_mle_folded(outer: np.ndarray) -> np.ndarray:
+    """Dense table next_mle(outer, y) over all y (next_mle.rs:35-53)."""
+    outer = np.asarray(outer, np.uint32).reshape(-1, EXT_DEGREE)
+    n = len(outer)
+    res = np.zeros((1 << n, EXT_DEGREE), np.uint32)
+    for k in range(n):
+        prod = nf.esub(EONE, outer[n - k - 1])
+        for v in outer[n - k:]:
+            prod = nf.emul(prod, v)
+        eq_tab = eval_eq(outer[:n - k - 1], prod)
+        idx = (np.arange(len(eq_tab)) << (k + 1)) + (1 << k)
+        res[idx] = nf.eadd(res[idx], eq_tab)
+    prod = EONE.copy()
+    for v in outer:
+        prod = nf.emul(prod, v)
+    res[-1] = nf.eadd(res[-1], prod)
+    return res
+
+
+def mle_of_zeros_then_ones(n_zeros: int, point: np.ndarray) -> np.ndarray:
+    """MLE of [0]*n_zeros + [1]*(2^n - n_zeros) at `point` (mle_custom.rs:4-19)."""
+    point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
+    n_values = 1 << len(point)
+    assert n_zeros <= n_values
+    if n_zeros == 0:
+        return EONE.copy()
+    if n_zeros == n_values:
+        return EZERO.copy()
+    half = n_values // 2
+    if n_zeros < half:
+        rec = mle_of_zeros_then_ones(n_zeros, point[1:])
+        return nf.eadd(nf.emul(nf.esub(EONE, point[0]), rec), point[0])
+    return nf.emul(point[0], mle_of_zeros_then_ones(n_zeros - half, point[1:]))
+
+
+# ----------------------------------------------------------------------------
+# Univariate dense polynomials (verifier-side)
+# ----------------------------------------------------------------------------
+
+
+def horner_eval(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Evaluate coeff-form poly (k,5) at EF x (5,) via Horner."""
+    coeffs = np.asarray(coeffs, np.uint32).reshape(-1, EXT_DEGREE)
+    acc = EZERO.copy()
+    for c in coeffs[::-1]:
+        acc = nf.eadd(nf.emul(acc, x), c)
+    return acc
+
+
+def lagrange_interpolation(xs: list[int], ys: np.ndarray) -> np.ndarray:
+    """Interpolate EF values at distinct base-field ints -> (k,5) coeffs.
+
+    (dense_poly.rs:33-108, incremental Newton-style update)"""
+    ys = np.asarray(ys, np.uint32).reshape(-1, EXT_DEGREE)
+    n = len(xs)
+    assert len(set(xs)) == n
+    result = np.zeros((0, EXT_DEGREE), np.uint32)
+    basis = np.zeros((1, EXT_DEGREE), np.uint32)
+    basis[0] = EONE
+    for i in range(n):
+        xi = np.uint32(xs[i] % P)
+        # value of current result at xi
+        cur = horner_eval(result, efrom_base_scalar(xi)) if len(result) else EZERO
+        # basis(xi)
+        bx = horner_eval(basis, efrom_base_scalar(xi))
+        coeff = nf.emul(nf.esub(ys[i], cur), nf.einv(bx))
+        # result += coeff * basis
+        add_term = nf.emul(basis, np.broadcast_to(coeff, basis.shape))
+        if len(result) < len(basis):
+            result = np.concatenate(
+                [result, np.zeros((len(basis) - len(result), EXT_DEGREE),
+                                  np.uint32)])
+        result = nf.eadd(result, add_term)
+        # basis *= (x - xi)
+        neg_xi = efrom_base_scalar(np.uint32((P - int(xi)) % P))
+        shifted = np.concatenate([np.zeros((1, EXT_DEGREE), np.uint32), basis])
+        scaled = np.concatenate(
+            [nf.emul(basis, np.broadcast_to(neg_xi, basis.shape)),
+             np.zeros((1, EXT_DEGREE), np.uint32)])
+        basis = nf.eadd(shifted, scaled)
+    return result
+
+
+def efrom_base_scalar(x) -> np.ndarray:
+    out = EZERO.copy()
+    out[0] = np.uint32(x)
+    return out
+
+
+def to_big_endian_in_field(value: int, n_bits: int) -> np.ndarray:
+    """Big-endian bit decomposition as EF elements (n_bits, 5)."""
+    out = np.zeros((n_bits, EXT_DEGREE), np.uint32)
+    for i in range(n_bits):
+        out[i, 0] = (value >> (n_bits - 1 - i)) & 1
+    return out
