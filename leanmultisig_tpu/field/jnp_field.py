@@ -148,6 +148,24 @@ def inv(a):
     return pow_const(a, P - 2)
 
 
+def sum_mod(x, axis: int = 0):
+    """Modular sum along `axis` — uint32-safe (JAX runs without x64).
+
+    Binary tree of modular adds: log2(N) fused elementwise passes.
+    """
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, 0)
+    # pad to a power of two with zeros
+    pot = 1 if n == 0 else 1 << (n - 1).bit_length()
+    if pot != n:
+        pad = [(0, pot - n)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    while x.shape[0] > 1:
+        half = x.shape[0] // 2
+        x = add(x[:half], x[half:])
+    return x[0]
+
+
 # ----------------------------------------------------------------------------
 # Quintic extension ops: trailing axis of length 5
 # ----------------------------------------------------------------------------
