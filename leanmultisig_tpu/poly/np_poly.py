@@ -278,6 +278,46 @@ def lagrange_interpolation(xs: list[int], ys: np.ndarray) -> np.ndarray:
     return result
 
 
+def bit_reverse_permutation(data: np.ndarray) -> np.ndarray:
+    """Reorder axis 0 by bit-reversed index (evals.rs:57-66)."""
+    n = data.shape[0]
+    log_n = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return data[rev]
+
+
+def evals_to_coeffs(data: np.ndarray) -> np.ndarray:
+    """Hypercube evals -> multilinear coefficient basis (evals.rs:44-55).
+
+    coeff index MSB pairs with point[0] in eval_multilinear_coeffs."""
+    data = np.asarray(data, np.uint32).copy()
+    n = data.shape[0]
+    half = 1
+    while half < n:
+        view = data.reshape((n // (2 * half), 2, half) + data.shape[1:])
+        hi = nf.sub(view[:, 1], view[:, 0])
+        data = np.concatenate([view[:, 0, None], hi[:, None]],
+                              axis=1).reshape(data.shape)
+        half <<= 1
+    return bit_reverse_permutation(data)
+
+
+def eval_multilinear_coeffs(coeffs: np.ndarray, point: np.ndarray) -> np.ndarray:
+    """Evaluate coefficient-basis multilinear at EF point (evals.rs:69-83)."""
+    point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
+    cur = np.asarray(coeffs, np.uint32)
+    if cur.ndim == 1:
+        cur = efrom_base_table(cur)
+    for x in point:
+        half = cur.shape[0] // 2
+        c0, c1 = cur[:half], cur[half:]
+        cur = nf.eadd(c0, nf.emul(c1, np.broadcast_to(x, c1.shape)))
+    return cur[0]
+
+
 def efrom_base_scalar(x) -> np.ndarray:
     out = EZERO.copy()
     out[0] = np.uint32(x)
