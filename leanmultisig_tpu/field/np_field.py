@@ -83,6 +83,23 @@ def batch_inv(a):
     return out
 
 
+def sum_mod(x, axis=0):
+    """Modular sum along an axis (values < P, exact via uint64 then mod)."""
+    x = np.asarray(x, np.uint64)
+    n = x.shape[axis]
+    # sums of < 2^33 terms of < 2^31 values fit uint64
+    assert n < (1 << 33)
+    return (x.sum(axis=axis, dtype=np.uint64) % PNP).astype(np.uint32)
+
+
+def mul_mat(rows: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """(N, k) x (m, k) matrix: out[n, i] = sum_j rows[n, j] * mat[i, j] mod P."""
+    rows64 = np.asarray(rows, np.uint64)
+    mat64 = np.asarray(mat, np.uint64)
+    prod = (rows64[:, None, :] * mat64[None, :, :]) % PNP
+    return (prod.sum(axis=2, dtype=np.uint64) % PNP).astype(np.uint32)
+
+
 def two_adic_generator(bits: int) -> int:
     assert 0 <= bits <= TWO_ADICITY
     return TWO_ADIC_GENERATORS[bits]
