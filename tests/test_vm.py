@@ -58,8 +58,12 @@ def build_program():
     instr(Computation("mul", Constant(7), MemAfterFp(4), MemAfterFp(8)))
     # asserts m[fp+8] + 0 == 1 (all operands known -> equality check)
     instr(Computation("add", MemAfterFp(8), Constant(0), Constant(1)))
-    ending_pc = len(code)
-    instr(Jump(Constant(1), Constant(ending_pc), FpRel(0)))
+    # main-return convention (b_compile_intermediate.rs:568-583):
+    # fp := 0 on the jump to ending_pc so padding rows chain cleanly
+    instr(Computation("add", Constant(0), Constant(0), MemAfterFp(9)))
+    ending_pc = len(code) + 1
+    instr(Jump(Constant(1), Constant(ending_pc), MemAfterFp(9)))
+    instr(Jump(Constant(1), Constant(ending_pc), FpRel(0)))  # self-loop
 
     return Bytecode(code, starting_frame_memory=16, ending_pc=ending_pc)
 
@@ -137,9 +141,11 @@ def test_vm_named_hints_and_solving():
                               MemAfterFp(1))),
         CodeEntry(Computation("mul", MemAfterFp(7), Constant(4),
                               MemAfterFp(2))),
-        CodeEntry(Jump(Constant(1), Constant(4), FpRel(0))),
+        CodeEntry(Computation("add", Constant(0), Constant(0), MemAfterFp(9))),
+        CodeEntry(Jump(Constant(1), Constant(5), MemAfterFp(9))),
+        CodeEntry(Jump(Constant(1), Constant(5), FpRel(0))),
     ]
-    bytecode = Bytecode(code, starting_frame_memory=8, ending_pc=4)
+    bytecode = Bytecode(code, starting_frame_memory=10, ending_pc=5)
     witness = ExecutionWitness(hints={"w": [[11, 22, 33]]})
     res = execute_bytecode(bytecode, [1], witness)
     fp0 = res.fps[0]
