@@ -27,8 +27,8 @@ def fa(x) -> np.ndarray:
 
 
 def add(a, b):
-    s = a.astype(np.uint64) + b.astype(np.uint64)
-    return np.where(s >= PNP, s - PNP, s).astype(np.uint32)
+    s = np.asarray(a, np.uint64) + np.asarray(b, np.uint64)
+    return (s - PNP * (s >= PNP)).astype(np.uint32)
 
 
 def sub(a, b):
@@ -128,12 +128,14 @@ def emul(a, b):
     b = np.asarray(b, np.uint32)
     a64 = a.astype(np.uint64)
     b64 = b.astype(np.uint64)
-    # full convolution in uint64: max term 5 * (2^31)^2 < 2^64, safe.
+    # full convolution; products reduced mod P before accumulation
+    # (5 raw 62-bit products can exceed 2^64 — sums of reduced values
+    # stay < 9 * 2^31, exact in uint64)
     c = [np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), np.uint64)
          for _ in range(9)]
     for i in range(5):
         for j in range(5):
-            c[i + j] = c[i + j] + a64[..., i] * b64[..., j]
+            c[i + j] = c[i + j] + (a64[..., i] * b64[..., j]) % PNP
     for k in range(9):
         c[k] = c[k] % PNP
     # X^{5+k} = X^k - X^{2+k}
