@@ -395,13 +395,31 @@ class FnCompiler:
         raise CompileError(f"not a runtime value: {v}")
 
     def materialize(self, v) -> Slot:
-        """Ensure the value lives in a frame slot."""
+        """Ensure the value lives in a frame slot (consts cached per fn)."""
         if isinstance(v, Slot):
             return v
+        if not hasattr(self, "_const_slots"):
+            self._const_slots = {}
+            self._branch_depth = 0
+        key = int(v) % P
+        if key in self._const_slots:
+            return self._const_slots[key]
         s = Slot(self.alloc())
         self.emit(Computation("add", self.operand(v), Constant(0),
                               MemAfterFp(s.offset)))
+        # only dominator-position (non-branch) definitions are reusable
+        if self._branch_depth == 0:
+            self._const_slots[key] = s
         return s
+
+    def _enter_branch(self):
+        if not hasattr(self, "_const_slots"):
+            self._const_slots = {}
+            self._branch_depth = 0
+        self._branch_depth += 1
+
+    def _exit_branch(self):
+        self._branch_depth -= 1
 
     # --- entry ------------------------------------------------------------
     def compile(self) -> None:
@@ -660,6 +678,7 @@ class FnCompiler:
 
         self.emit(Jump(MemAfterFp(b.offset), Constant(LabelRef(then_label)),
                        FpRel(0)))
+        self._enter_branch()
         # else branch (fallthrough)
         assigned_else = self._collect_assigned(else_branch)
         self.compile_block(else_branch)
@@ -672,6 +691,7 @@ class FnCompiler:
         self.compile_block(then_branch)
         self._close_branch(pins, env_before, assigned_then)
         self.emit(Jump(Constant(1), Constant(LabelRef(end_label)), FpRel(0)))
+        self._exit_branch()
         self.mark(end_label)
         for name, slot, _ in pins:
             self.env[name] = Slot(slot)
@@ -717,6 +737,7 @@ class FnCompiler:
         # temp buffers, pad, then emit. Simplest: compile arms into temp lists.
         saved_code = self.code
         arm_codes = []
+        self._enter_branch()
         for body, label in zip(bodies, arm_labels):
             self.code = []
             env_snapshot = dict(self.env)
@@ -726,6 +747,7 @@ class FnCompiler:
             self.emit(Jump(Constant(1), Constant(LabelRef(end_label)), FpRel(0)))
             arm_codes.append(self.code)
             self.env = env_snapshot
+        self._exit_branch()
         self.code = saved_code
 
         block_size = max(sum(1 for it in ac if not isinstance(it, str))
@@ -1170,6 +1192,7 @@ class FnCompiler:
         dest = Slot(self.alloc())
         saved_code = self.code
         arm_codes = []
+        self._enter_branch()
         for (v, lam), label in zip(cases, arm_labels):
             self.code = []
             rv = self._apply_lambda(lam, v)
@@ -1182,6 +1205,7 @@ class FnCompiler:
             self.emit(Jump(Constant(1), Constant(LabelRef(end_label)),
                            FpRel(0)))
             arm_codes.append(self.code)
+        self._exit_branch()
         self.code = saved_code
         self.pinned = saved_pinned
 
