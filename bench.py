@@ -1,53 +1,77 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current headline (round 1): Poseidon-16 permutations/s on one chip — the
-kernel floor of the whole proving pipeline (the reference's analog harness:
-crates/backend/koala-bear/src/benchmark_poseidons.rs:15-39). Once the
-end-to-end prover lands this switches to XMSS signatures proven/sec vs the
-reference's 1319 XMSS/s (M4 Max, README.md:35).
+Headline: XMSS signatures proven per second — type-1 aggregation at full
+protocol security (124-bit, WHIR rate 1/2), matching the reference's
+headline setup (`xmss --n-signatures N --log-inv-rate 1`, README.md:29-36;
+baseline 1319 XMSS/s on M4 Max CPU).
+
+Round-1 status: the prover is the host (numpy) reference implementation —
+device (TPU) kernels for the hot paths land next. BENCH_N_SIGS env var
+overrides the batch size (default 8).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+BASELINE_XMSS_PER_S = 1319.0  # reference README.md:35
 
-def bench_poseidon(batch: int = 1 << 18, iters: int = 20) -> float:
-    import jax
-    import jax.numpy as jnp
 
-    from leanmultisig_tpu.poseidon import perm
+def bench_xmss_aggregation(n_sigs: int) -> dict:
+    from leanmultisig_tpu.aggregation.driver import (aggregate, make_signers,
+                                                     sign_all,
+                                                     verify_aggregate)
+    from leanmultisig_tpu.field.constants import P
+    from leanmultisig_tpu.whir.config import default_whir_config_builder
 
-    rng = np.random.default_rng(0)
-    p = 2**31 - 2**24 + 1
-    states = jnp.asarray(rng.integers(0, p, size=(batch, 16), dtype=np.uint32))
+    signers = make_signers(n_sigs)
+    rng = np.random.default_rng(42)
+    message = rng.integers(0, P, size=8, dtype=np.uint32)
+    sigs = sign_all(signers, message)
+    pub_keys = [pk for _, pk in signers]
+    cfg = default_whir_config_builder(1)  # rate 1/2, 124-bit, proven regime
 
-    f = jax.jit(perm.permute)
-    f(states).block_until_ready()  # compile
+    # compile guest outside the timed region (cached across proofs)
+    from leanmultisig_tpu.aggregation.driver import get_aggregation_bytecode
+    get_aggregation_bytecode(n_sigs)
 
     t0 = time.perf_counter()
-    out = states
-    for _ in range(iters):
-        out = f(out)
-    out.block_until_ready()
+    bc, public_input, proof, metadata = aggregate(
+        message, pub_keys, sigs, cfg, native_check=False)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+
+    # proof must verify (not timed)
+    verify_aggregate(bc, public_input, proof, cfg)
+
+    sigs_per_s = n_sigs / dt
+    return {
+        "metric": "xmss_sigs_proven_per_s",
+        "value": round(sigs_per_s, 4),
+        "unit": "sigs/s",
+        "vs_baseline": round(sigs_per_s / BASELINE_XMSS_PER_S, 6),
+        "detail": {
+            "n_sigs": n_sigs,
+            "prove_s": round(dt, 1),
+            "proof_KiB": round(proof.proof_size_fe() * 4 / 1024, 1),
+            "cycles": metadata["cycles"],
+            "security": "124-bit johnson, rate 1/2",
+        },
+    }
 
 
 def main() -> None:
-    perms_per_s = bench_poseidon()
-    # Reference proxy: M4 Max SIMD Poseidon throughput is ~10-20 M perm/s;
-    # use 15e6 as the baseline denominator until the XMSS/s metric lands.
-    baseline = 15e6
-    print(json.dumps({
-        "metric": "poseidon16_permutations_per_s",
-        "value": round(perms_per_s),
-        "unit": "perm/s",
-        "vs_baseline": round(perms_per_s / baseline, 3),
-    }))
+    n_sigs = int(os.environ.get("BENCH_N_SIGS", "8"))
+    try:
+        result = bench_xmss_aggregation(n_sigs)
+    except Exception as e:  # report a failed bench honestly
+        result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
+                  "unit": "sigs/s", "vs_baseline": 0, "error": str(e)[:200]}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -113,7 +113,12 @@ class ProverState:
         if bits == 0:
             return
         t0 = time.perf_counter()
-        witness = grind(self.challenger.state[:CAPACITY], bits)
+        from ..device import enabled as device_enabled
+        if device_enabled():
+            from ..device.kernels import grind as device_grind
+            witness = device_grind(self.challenger.state[:CAPACITY], bits)
+        else:
+            witness = grind(self.challenger.state[:CAPACITY], bits)
         self.challenger.observe_many(np.array([witness], np.uint32))
         assert int(self.challenger.state[CAPACITY]) & ((1 << bits) - 1) == 0
         self.transcript.append(np.array([witness], np.uint32))

@@ -34,8 +34,14 @@ class WhirMerkleTree:
                 [base, np.zeros((base.shape[0], full_base_width - eff_w),
                                 np.uint32)], axis=1)
         self.full_base_width = full_base_width
-        digests = sponge.hash_slice(base)  # batched over rows
-        self.tree = hmerkle.MerkleTree.from_first_layer(digests)
+        from ..device import enabled as device_enabled
+        if device_enabled() and base.shape[0] >= 64:
+            from ..device.kernels import merkle_build
+            layers = merkle_build(base[:, :eff_w], full_base_width)
+            self.tree = hmerkle.MerkleTree(layers)
+        else:
+            digests = sponge.hash_slice(base)  # batched over rows
+            self.tree = hmerkle.MerkleTree.from_first_layer(digests)
 
     def root(self) -> np.ndarray:
         return self.tree.root()

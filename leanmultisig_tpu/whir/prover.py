@@ -15,7 +15,17 @@ from ..field import np_field as nf
 from ..poly import np_poly as pp
 from ..sumcheck.np_sumcheck import ProductComputation, sumcheck_prove
 from .config import WhirConfig
-from .dft import reorder_and_dft
+from .dft import reorder_and_dft as _host_reorder_and_dft
+
+
+def reorder_and_dft(evals, folding_factor, log_inv_rate, dft_n_cols):
+    """RS-encode on device when enabled (large sizes), else host numpy."""
+    from ..device import enabled as device_enabled
+    if device_enabled() and evals.shape[0] >= (1 << 12):
+        from ..device.kernels import reorder_and_dft as device_rdft
+        return device_rdft(evals, folding_factor, log_inv_rate, dft_n_cols)
+    return _host_reorder_and_dft(evals, folding_factor, log_inv_rate,
+                                 dft_n_cols)
 from .merkle import WhirMerkleTree
 from .statement import SparseStatement, combine_statement
 
