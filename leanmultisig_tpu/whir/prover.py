@@ -87,6 +87,9 @@ class _SumcheckSingle:
         self.weights = weights
         self.sum = sum_
 
+    def evals_host(self) -> np.ndarray:
+        return self.evals
+
     def add_new_equality(self, points, evaluations, combination_randomness):
         for point, ev, rand in zip(points, evaluations, combination_randomness):
             self.weights = nf.eadd(self.weights, pp.eval_eq(point, rand))
@@ -120,13 +123,24 @@ def open_(config: WhirConfig, prover_state,
 
     prover_state.duplex()
     gamma = prover_state.sample()
-    weights, sum_ = combine_statement(statements, gamma)
 
-    challenges, (evals, weights), sum_ = sumcheck_prove(
-        [polynomial, weights], ProductComputation(), None, None,
-        prover_state, sum_, n_rounds=config.folding_factor.at_round(0),
-        pow_bits=config.starting_folding_pow_bits)
-    state = _SumcheckSingle(evals, weights, sum_)
+    from ..device import enabled as device_enabled
+    use_device = device_enabled() and config.num_variables >= 14
+    if use_device:
+        from ..device.sumcheck import (DeviceProductSumcheck,
+                                       combine_statement_device)
+        weights_m, sum_ = combine_statement_device(statements, gamma)
+        state = DeviceProductSumcheck(polynomial, weights_m, sum_)
+        challenges = state.run_sumcheck_many_rounds(
+            prover_state, config.folding_factor.at_round(0),
+            config.starting_folding_pow_bits)
+    else:
+        weights, sum_ = combine_statement(statements, gamma)
+        challenges, (evals, weights), sum_ = sumcheck_prove(
+            [polynomial, weights], ProductComputation(), None, None,
+            prover_state, sum_, n_rounds=config.folding_factor.at_round(0),
+            pow_bits=config.starting_folding_pow_bits)
+        state = _SumcheckSingle(evals, weights, sum_)
     randomness_vec = list(challenges)
 
     domain_size = config.starting_domain_size()
@@ -146,14 +160,15 @@ def open_(config: WhirConfig, prover_state,
         domain_reduction = 1 << config.rs_reduction_factor(round_index)
         new_domain_size = domain_size // domain_reduction
         inv_rate_log = (new_domain_size.bit_length() - 1) - num_variables
-        matrix = reorder_and_dft(state.evals, folding_factor_next,
+        matrix = reorder_and_dft(state.evals_host(), folding_factor_next,
                                  inv_rate_log, 1 << folding_factor_next)
         new_tree = WhirMerkleTree(
             matrix, full_base_width=(1 << folding_factor_next) * EXT_DIM)
         prover_state.add_base_scalars(new_tree.root())
 
         ood_points, ood_answers = sample_ood_points(
-            prover_state, round_params.ood_samples, num_variables, state.evals)
+            prover_state, round_params.ood_samples, num_variables,
+            state.evals_host())
 
         prover_state.pow_grinding(round_params.query_pow_bits)
 
@@ -202,7 +217,7 @@ def open_(config: WhirConfig, prover_state,
         merkle_tree = new_tree
 
     # final round (open.rs:182-248)
-    coeffs = pp.evals_to_coeffs(state.evals)
+    coeffs = pp.evals_to_coeffs(state.evals_host())
     prover_state.add_extension_scalars(coeffs)
     prover_state.pow_grinding(config.final_query_pow_bits)
 
