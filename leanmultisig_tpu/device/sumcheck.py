@@ -77,9 +77,11 @@ def _scatter_add_fn(total: int, block: int):
 
     @jax.jit
     def scatter_add(weights_m, eq_m, lo):
-        cur = jax.lax.dynamic_slice(weights_m, (lo, 0), (block, EXT))
+        lo = lo.astype(jnp.int32)
+        zero = jnp.int32(0)
+        cur = jax.lax.dynamic_slice(weights_m, (lo, zero), (block, EXT))
         return jax.lax.dynamic_update_slice(weights_m, jf.add(cur, eq_m),
-                                            (lo, 0))
+                                            (lo, zero))
 
     return scatter_add
 

@@ -78,3 +78,84 @@ def test_device_enabled_pipeline_roundtrip():
         verify(cfg, vs, parsed, [st])
     finally:
         device.set_enabled(None)
+
+
+def test_device_sumcheck_state_matches_host():
+    """DeviceProductSumcheck transcript == host path at >=14 vars
+    (exercises the scatter-add path with selector regions)."""
+    from leanmultisig_tpu.device.sumcheck import (DeviceProductSumcheck,
+                                                  combine_statement_device)
+    from leanmultisig_tpu.fs.prover import ProverState
+    from leanmultisig_tpu.poly import np_poly as pp
+    from leanmultisig_tpu.sumcheck.np_sumcheck import (ProductComputation,
+                                                       sumcheck_prove)
+    from leanmultisig_tpu.whir.statement import (SparseStatement, SparseValue,
+                                                 combine_statement)
+
+    n_vars = 14
+    poly = rng.integers(0, P, size=1 << n_vars, dtype=np.uint32)
+    gamma = rng.integers(0, P, size=5, dtype=np.uint32)
+
+    # a dense statement + a sparse one hitting the scatter path
+    pt_dense = rng.integers(0, P, size=(n_vars, 5), dtype=np.uint32)
+    st1 = SparseStatement.dense(pt_dense, pp.eval_mle(poly, pt_dense))
+    # values on selector prefix with inner exactly 14 is impossible here;
+    # use selector region with large inner by total=n_vars, inner=n_vars (sel 0)
+    pt2 = rng.integers(0, P, size=(n_vars, 5), dtype=np.uint32)
+    st2 = SparseStatement(n_vars, pt2, [SparseValue(0, pp.eval_mle(poly, pt2))])
+    statements = [st1, st2]
+
+    w_host, sum_host = combine_statement(statements, gamma)
+    w_dev, sum_dev = combine_statement_device(statements, gamma)
+    from leanmultisig_tpu.device.sumcheck import from_monty_host
+    assert np.array_equal(from_monty_host(w_dev), w_host)
+    assert np.array_equal(sum_dev, sum_host)
+
+    ps_h = ProverState()
+    ch_h, _, sum_h = sumcheck_prove([poly, w_host], ProductComputation(),
+                                    None, None, ps_h, sum_host, n_rounds=4,
+                                    pow_bits=2)
+    ps_d = ProverState()
+    state = DeviceProductSumcheck(poly, w_dev, sum_dev)
+    ch_d = state.run_sumcheck_many_rounds(ps_d, 4, 2)
+    assert np.array_equal(ch_h, ch_d)
+    assert np.array_equal(sum_h, state.sum)
+    assert np.array_equal(ps_h.into_proof().transcript,
+                          ps_d.into_proof().transcript)
+
+
+def test_device_scatter_add_selector():
+    """weights_add_eq with nonzero selector == host sparse accumulation."""
+    from leanmultisig_tpu.device.sumcheck import (from_monty_host,
+                                                  to_monty_dev,
+                                                  weights_add_eq)
+    from leanmultisig_tpu.poly import np_poly as pp
+    from leanmultisig_tpu.field import np_field as nf
+
+    total_n, inner_n, sel = 16, 14, 3
+    point = rng.integers(0, P, size=(inner_n, 5), dtype=np.uint32)
+    scalar = rng.integers(0, P, size=5, dtype=np.uint32)
+    w0 = rng.integers(0, P, size=(1 << total_n, 5), dtype=np.uint32)
+    got = from_monty_host(weights_add_eq(to_monty_dev(w0), point, scalar, sel))
+    want = w0.copy()
+    lo = sel << inner_n
+    want[lo:lo + (1 << inner_n)] = nf.eadd(want[lo:lo + (1 << inner_n)],
+                                           pp.eval_eq(point, scalar))
+    assert np.array_equal(got, want)
+
+
+def test_sharded_whir_commit_matches_host():
+    """Row-sharded commit over the 8-device mesh == host reference."""
+    import jax
+    from jax.sharding import Mesh
+    from leanmultisig_tpu.device.sharded import sharded_whir_commit
+    from leanmultisig_tpu.whir.dft import reorder_and_dft as host_rdft
+
+    evals = rng.integers(0, P, size=1 << 12, dtype=np.uint32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    digests, root = sharded_whir_commit(evals, 4, 2, mesh)
+    mat = host_rdft(evals, 4, 2, 16)
+    host_digests = sponge.hash_slice(mat)
+    tree = hmerkle.MerkleTree.from_first_layer(host_digests)
+    assert np.array_equal(digests, host_digests)
+    assert np.array_equal(root, tree.root())
