@@ -66,6 +66,18 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
 
 def main() -> None:
     n_sigs = int(os.environ.get("BENCH_N_SIGS", "8"))
+    # Device path is opt-in for the bench until the jit compile cache is
+    # persistent: over the tunneled TPU, first-run per-shape compiles and
+    # the transfer warmup dominate a single timed proof. BENCH_DEVICE=1
+    # opts in (and enables the on-disk XLA compilation cache).
+    if os.environ.get("BENCH_DEVICE") == "1":
+        os.environ.setdefault("LMS_DEVICE", "1")
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__),
+                                       ".jax_cache"))
+    else:
+        os.environ.setdefault("LMS_DEVICE", "0")
     try:
         result = bench_xmss_aggregation(n_sigs)
     except Exception as e:  # report a failed bench honestly

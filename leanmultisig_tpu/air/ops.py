@@ -14,6 +14,11 @@ from ..field import np_field as nf
 from ..field.constants import P
 
 
+def _sym(a):
+    from .symbolic import Sym
+    return isinstance(a, Sym)
+
+
 def is_ext(a) -> bool:
     return isinstance(a, np.ndarray) and a.ndim == 2
 
@@ -47,22 +52,34 @@ def _coerce(a, b):
 
 
 def add(a, b):
+    if _sym(a) or _sym(b):
+        from .symbolic import sym_add
+        return sym_add(a, b)
     a, b, _ = _coerce(a, b)
     return nf.add(a, b)
 
 
 def sub(a, b):
+    if _sym(a) or _sym(b):
+        from .symbolic import sym_sub
+        return sym_sub(a, b)
     a, b, _ = _coerce(a, b)
     return nf.sub(a, b)
 
 
 def neg(a):
+    if _sym(a):
+        from .symbolic import sym_sub
+        return sym_sub(0, a)
     if isinstance(a, int):
         return (P - a % P) % P
     return nf.neg(a)
 
 
 def mul(a, b):
+    if _sym(a) or _sym(b):
+        from .symbolic import sym_mul
+        return sym_mul(a, b)
     # base*ext keeps base broadcast over the coefficient axis (cheap path)
     if isinstance(a, int):
         a = np.uint32(a % P)
@@ -83,6 +100,9 @@ def double(a):
 
 
 def halve(a):
+    if _sym(a):
+        from .symbolic import sym_mul
+        return sym_mul(a, (P + 1) // 2)
     if isinstance(a, int):
         a = np.uint32(a % P)
     half_p1 = (P + 1) // 2  # 2^{-1} mod P

@@ -91,8 +91,12 @@ def eval_execution_air(b, extra: ExtraDataForBuses):
     is_precompile = ops.neg(
         ops.sub(ops.add(ops.add(add_f, mul_f), ops.add(deref, jump)), 1))
 
-    b.assert_zero_ef(eval_virtual_bus_column(
-        extra, is_precompile, [precompile_data, nu_a, nu_b, nu_c]))
+    if getattr(b, "bus", True):
+        b.assert_zero_ef(eval_virtual_bus_column(
+            extra, is_precompile, [precompile_data, nu_a, nu_b, nu_c]))
+    else:
+        b.declare_values([is_precompile])
+        b.declare_values([precompile_data, nu_a, nu_b, nu_c])
 
     b.assert_zero(ops.mul(one_m_a, ops.sub(addr_a, ops.add(fp, operand_a))))
     b.assert_zero(ops.mul(one_m_b, ops.sub(addr_b, ops.add(fp, operand_b))))
@@ -180,8 +184,12 @@ def eval_extension_op_air(b, extra: ExtraDataForBuses):
                 ops.mul(length, EXT_OP_LEN_MULTIPLIER)))
     idx_r = flat[T.EXT_COL_IDX_RES]
 
-    b.assert_zero_ef(eval_virtual_bus_column(
-        extra, activation_flag, [aux, idx_a, idx_b, idx_r]))
+    if getattr(b, "bus", True):
+        b.assert_zero_ef(eval_virtual_bus_column(
+            extra, activation_flag, [aux, idx_a, idx_b, idx_r]))
+    else:
+        b.declare_values([activation_flag])
+        b.declare_values([aux, idx_a, idx_b, idx_r])
 
     is_ee = ops.neg(ops.sub(is_be, 1))
     not_start_shift = ops.neg(ops.sub(start_shift, 1))
@@ -295,8 +303,12 @@ def eval_poseidon16_air(b, extra: ExtraDataForBuses):
     one_minus_hard = ops.neg(ops.sub(flag_hard, 1))
     index_a = ops.sub(eff_left_second,
                       ops.mul(one_minus_hard, T.HALF_DIGEST_LEN))
-    b.assert_zero_ef(eval_virtual_bus_column(
-        extra, flag_active, [pre_data, index_a, index_b, index_res]))
+    if getattr(b, "bus", True):
+        b.assert_zero_ef(eval_virtual_bus_column(
+            extra, flag_active, [pre_data, index_a, index_b, index_res]))
+    else:
+        b.declare_values([flag_active])
+        b.declare_values([pre_data, index_a, index_b, index_res])
 
     b.assert_bool(flag_active)
     b.assert_bool(flag_half)

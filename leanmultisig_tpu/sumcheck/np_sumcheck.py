@@ -85,6 +85,23 @@ def compute_round_evals(columns, computation, extra, eq_table, missing_mul_facto
     return np.stack(evals)
 
 
+def _product_round_coeffs(evals, weights, sum_):
+    """Direct (c0, c1, c2) for the product sumcheck
+    (sumcheck/src/product_computation.rs compute_product_sumcheck_polynomial):
+    c0 = sum y0*x0, c2 = sum (y1-y0)(x1-x0), c1 = sum - 2c0 - c2."""
+    half = evals.shape[0] // 2
+    x0, x1 = evals[:half], evals[half:]
+    y0, y1 = weights[:half], weights[half:]
+    if evals.ndim == 1:
+        c0 = _ef_sum(nf.escalar_mul(y0, x0))
+        c2 = _ef_sum(nf.escalar_mul(nf.esub(y1, y0), nf.sub(x1, x0)))
+    else:
+        c0 = _ef_sum(nf.emul(y0, x0))
+        c2 = _ef_sum(nf.emul(nf.esub(y1, y0), nf.esub(x1, x0)))
+    c1 = nf.esub(nf.esub(sum_, nf.eadd(c0, c0)), c2)
+    return np.stack([c0, c1, c2])
+
+
 def sumcheck_prove(columns, computation, extra, eq_factor, prover_state, sum_,
                    n_rounds=None, pow_bits=0, missing_mul_factor=None):
     """Run the sumcheck prover.
@@ -107,8 +124,20 @@ def sumcheck_prove(columns, computation, extra, eq_factor, prover_state, sum_,
                 else np.zeros((0, EXT_DIM), np.uint32))
         eq_table = pp.eval_eq(rest)  # size 2^(n-1), truncated each round
 
+    is_product = (isinstance(computation, ProductComputation)
+                  and eq_factor is None and missing_mul_factor is None)
+
     challenges = []
     for _ in range(n_rounds):
+        if is_product:
+            coeffs = _product_round_coeffs(columns[0], columns[1], sum_)
+            prover_state.add_sumcheck_polynomial(coeffs)
+            prover_state.pow_grinding(pow_bits)
+            r = prover_state.sample()
+            challenges.append(r)
+            sum_ = pp.horner_eval(coeffs, r)
+            columns = [pp.fold(c, r) for c in columns]
+            continue
         degree = computation.degree
         h_evals = compute_round_evals(columns, computation, extra, eq_table,
                                       missing_mul_factor)

@@ -87,3 +87,27 @@ def test_constraint_count_matches_registry():
         air.eval_fn(folder, extra)
         assert folder.constraint_index == air.n_constraints, \
             (table, folder.constraint_index, air.n_constraints)
+
+
+def test_symbolic_constraint_dag():
+    """Symbolic DAG: counts/degrees match the registry; DAG evaluation
+    matches the vectorized folder on real trace rows."""
+    from leanmultisig_tpu.air.symbolic import (degree, eval_sym,
+                                               symbolic_constraints)
+    trace = _trace_fixture()
+    for table in T.ALL_TABLES:
+        air = TABLE_AIRS[table]
+        constraints, declared = symbolic_constraints(table)
+        # registry counts the bus constraint too (+1)
+        assert len(constraints) == air.n_constraints - 1, table
+        assert len(declared) == 2  # [selector], [bus data]
+        max_deg = max(degree(c) for c in constraints)
+        assert max_deg <= air.degree, (table, max_deg)
+        if table == T.POSEIDON16:
+            assert max_deg == 10
+        # numeric spot-check on row 0 of the real trace
+        t = trace.traces[table]
+        flat = [t.columns[i][0] for i in range(air.n_columns)]
+        shift = [t.columns[i][1] for i in range(air.n_shift)]
+        for c in constraints:
+            assert eval_sym(c, flat, shift) == 0, table
