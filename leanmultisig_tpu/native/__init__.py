@@ -1,0 +1,63 @@
+"""Native (C) runtime components, built on first import and cached.
+
+ctypes bindings (the environment has no pybind11); sources live next to
+this file, objects cache in `build/` keyed by source mtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(__file__)
+_BUILD = os.path.join(_DIR, "build")
+
+_LIB = None
+_UNAVAILABLE = False
+
+
+def _write_constants_header() -> str:
+    from ..poseidon import constants as C
+    path = os.path.join(_BUILD, "poseidon16_constants.h")
+    mds = [[C.MDS_COL[(i - j) % 16] for j in range(16)] for i in range(16)]
+    lines = ["/* generated from poseidon/constants.py */",
+             "static const uint32_t RC16[28][16] = {"]
+    for row in C.ROUND_CONSTANTS:
+        lines.append("  {" + ", ".join(f"{v}u" for v in row) + "},")
+    lines.append("};")
+    lines.append("static const uint32_t MDS16[16][16] = {")
+    for row in mds:
+        lines.append("  {" + ", ".join(f"{v}u" for v in row) + "},")
+    lines.append("};")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def get_lib():
+    """Build (if needed) and load the native library; None if no compiler."""
+    global _LIB, _UNAVAILABLE
+    if _LIB is not None or _UNAVAILABLE:
+        return _LIB
+    try:
+        os.makedirs(_BUILD, exist_ok=True)
+        src = os.path.join(_DIR, "poseidon16.c")
+        so = os.path.join(_BUILD, "libposeidon16.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            _write_constants_header()
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-I", _BUILD, src,
+                 "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.poseidon16_permute_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_long]
+        lib.poseidon16_compress_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_long]
+        _LIB = lib
+    except Exception:
+        _UNAVAILABLE = True
+        _LIB = None
+    return _LIB

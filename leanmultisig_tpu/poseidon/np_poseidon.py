@@ -37,7 +37,22 @@ def _mds(state: np.ndarray) -> np.ndarray:
 
 
 def permute(state: np.ndarray) -> np.ndarray:
-    """Poseidon-16 permutation, batched. state: (..., 16) canonical uint32."""
+    """Poseidon-16 permutation, batched. state: (..., 16) canonical uint32.
+
+    Small batches route to the native C kernel (the sequential duplex
+    sponge cannot batch — numpy per-call overhead dominates there)."""
+    st = np.asarray(state)
+    n_rows = 1 if st.ndim == 1 else int(np.prod(st.shape[:-1]))
+    if True:  # native beats numpy at every batch size (u64 matmul != BLAS)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+            buf = np.ascontiguousarray(st, np.uint32).copy()
+            lib.poseidon16_permute_batch(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                n_rows)
+            return buf
     s = np.asarray(state, np.uint64)
     squeeze = s.ndim == 1
     if squeeze:
