@@ -55,31 +55,38 @@ class AirSumcheckSession:
                               self.extra_data)
 
     def compute_bare_round_poly(self) -> np.ndarray:
-        """-> bare coefficients (degree+1, 5)."""
+        """-> bare coefficients (degree+1, 5).
+
+        All z-points {0, 2, ..., degree} are evaluated in ONE constraint
+        pass by stacking z along the row axis (kills per-op numpy overhead
+        at the small row counts the later rounds reach)."""
         degree = self.air.degree
         n_flat = self.air.n_columns
         half = self.cols[0].shape[0] // 2
-        lows = [c[:half] for c in self.cols]
-        highs = [c[half:] for c in self.cols]
-        diffs = [nf.sub(h, l) for h, l in zip(highs, lows)]
+        zs = np.array([0] + list(range(2, degree + 1)), np.uint32)
+        n_z = len(zs)
+
+        stacked = []
+        for c in self.cols:
+            lo, hi = c[:half], c[half:]
+            diff = nf.sub(hi, lo)
+            if c.ndim == 1:
+                pts = nf.add(lo[None, :],
+                             nf.mul(diff[None, :], zs[:, None]))
+                stacked.append(pts.reshape(n_z * half))
+            else:
+                pts = nf.add(lo[None, :, :],
+                             nf.mul(diff[None, :, :], zs[:, None, None]))
+                stacked.append(pts.reshape(n_z * half, 5))
 
         rest = self.eq_y[self.rounds_done + 1:]
         eq_table = pp.eval_eq(rest)  # (half, 5)
 
-        p_evals = []
-        running = None
-        for zi in range(degree):
-            if zi == 0:
-                pt = lows
-            elif zi == 1:
-                running = [nf.add(h, d) for h, d in zip(highs, diffs)]  # z=2
-                pt = running
-            else:
-                running = [nf.add(r, d) for r, d in zip(running, diffs)]
-                pt = running
-            acc = self._eval_constraints(pt[:n_flat], pt[n_flat:])  # (half, 5)
-            total = nf.sum_mod(nf.emul(acc, eq_table), axis=0)
-            p_evals.append(nf.emul(total, self.missing))
+        acc = self._eval_constraints(stacked[:n_flat], stacked[n_flat:])
+        acc = acc.reshape(n_z, half, 5)
+        weighted = nf.emul(acc, eq_table[None, :, :])
+        totals = nf.sum_mod(weighted, axis=1)  # (n_z, 5)
+        p_evals = [nf.emul(totals[i], self.missing) for i in range(n_z)]
 
         alpha = self.eq_alpha()
         one_m = nf.esub(pp.EONE, alpha)
