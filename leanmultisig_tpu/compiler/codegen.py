@@ -427,6 +427,11 @@ class FnCompiler:
         body = (self.synthetic_body if self.synthetic_body is not None
                 else self.inst.fdef.body)
         self.compile_block(body)
+        # implicit return for functions that fall off the end
+        if not (body and isinstance(body[-1], ast.Return)):
+            assert self.inst.n_rets == 0, \
+                f"{self.inst.fdef.name}: missing return of values"
+            self.compile_return(ast.Return(value=None))
 
     def compile_block(self, stmts) -> None:
         for stmt in stmts:
