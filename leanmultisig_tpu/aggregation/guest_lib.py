@@ -79,7 +79,80 @@ def assert_low_bits_zero(value, bits: Const):
 '''
 
 
+EF_LIB = '''
+DIM = 5
+
+def ef_add(a, b, out):
+    add_ee(a, b, out)
+    return
+
+def ef_sub(a, b, out):
+    add_ee(b, out, a)
+    return
+
+def ef_mul(a, b, out):
+    dot_product_ee(a, b, out)
+    return
+
+def ef_div(a, b, out):
+    dot_product_ee(out, b, a)
+    return
+
+def ef_assert_eq(a, b):
+    dot_product_ee(a, ONE_EF_PTR, b)
+    return
+
+def ef_copy(a, out):
+    dot_product_ee(a, ONE_EF_PTR, out)
+    return
+
+def ef_powers(x, out, n: Const):
+    """out[0..n*5] = [1, x, x^2, ..., x^(n-1)] (EF elements)."""
+    ef_copy(ONE_EF_PTR, out)
+    for i in unroll(1, n):
+        ef_mul(out + (i - 1) * DIM, x, out + i * DIM)
+    return
+
+def ef_horner(coeffs, x, out, n: Const):
+    """out = sum coeffs[i] * x^i (coeffs: n consecutive EF elements)."""
+    pws = Array(n * DIM)
+    ef_powers(x, pws, n)
+    dot_product_ee(coeffs, pws, out, n)
+    return
+
+def ef_sum(elems, out, n: Const):
+    """out = sum of n consecutive EF elements (add_ee against zeros)."""
+    add_ee(elems, ZERO_EFS_PTR, out, n)
+    return
+
+def sumcheck_round(fs, target, n_coeffs: Const):
+    """In-circuit sumcheck round (mirrors VerifierState
+    .next_sumcheck_polynomial + sample): reads the full coefficients from
+    the raw transcript, constrains h(0)+h(1) == target, absorbs, samples
+    r from the rate, returns (new fs, ptr to new target, ptr to r).
+
+    The raw transcript stores the c0-elided polynomial re-expanded
+    (fs/verifier.rs absorb_and_record), so binding c0 needs the explicit
+    sum constraint here."""
+    coeffs = fs[16]
+    fs2 = fs_observe_transcript(fs, div_ceil(n_coeffs * DIM, 8))
+    # sum constraint: c0 + sum_i c_i == target
+    s = Array(DIM)
+    ef_sum(coeffs, s, n_coeffs)
+    s2 = Array(DIM)
+    ef_add(s, coeffs, s2)
+    ef_assert_eq(s2, target)
+    # sample r = first EF of the rate
+    r = fs2 + 8
+    new_target = Array(DIM)
+    ef_horner(coeffs, r, new_target, n_coeffs)
+    return fs2, new_target, r
+'''
+
+
 def resolve_guest_lib(module: str) -> str:
     if module == "fs_lib":
         return FS_LIB
+    if module == "ef_lib":
+        return EF_LIB
     raise KeyError(module)
