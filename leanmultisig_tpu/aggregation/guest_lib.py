@@ -150,9 +150,117 @@ def sumcheck_round(fs, target, n_coeffs: Const):
 '''
 
 
+GKR_LIB = '''
+def fs_sample_ef_vec(fs, out, n: Const):
+    """Sample n EF elements into out (n*5 cells) — challenger
+    sample_many semantics: read rate, then duplex+read per extra block."""
+    total = n * 5
+    fsx: Mut = fs
+    for c in unroll(0, div_ceil(total, 8)):
+        if c == 0:
+            pass
+        else:
+            fsx = fs_duplex(fsx)
+        take = 8 - saturating_sub(8, total - c * 8)  # min(8, remaining)
+        for j in unroll(0, take):
+            out[c * 8 + j] = fsx[8 + j]
+    return fsx
+
+def ef_eval_mle(values, point, out, n_vars: Const):
+    """Evaluate an MLE of 2^n_vars consecutive EF values at an EF point
+    ((n_vars, 5) consecutive cells), MSB-first folds."""
+    cur: Mut = values
+    for v in unroll(0, n_vars):
+        half = 2 ** (n_vars - 1 - v)
+        new = Array(half * 5)
+        for i in unroll(0, half):
+            d = Array(5)
+            ef_sub(cur + (half + i) * 5, cur + i * 5, d)
+            t = Array(5)
+            ef_mul(point + v * 5, d, t)
+            ef_add(cur + i * 5, t, new + i * 5)
+        cur = new
+    ef_copy(cur, out)
+    return
+
+def gkr_verify_layer(fs, point, claim_num, claim_den, k: Const):
+    """One quotient-GKR layer check (quotient_gkr/mod.rs:160-190 verifier):
+    duplex; alpha; k sumcheck rounds; read 4 inner evals; check
+    eq(point, postponed) * (nl*dr + nr*dl + alpha*dl*dr) == target;
+    beta-fold. Returns (fs, next point (k+1 EFs), next num, next den)."""
+    fs2 = fs_duplex(fs)
+    alpha = fs2 + 8
+    expected = Array(5)
+    tmp = Array(5)
+    ef_mul(alpha, claim_den, tmp)
+    ef_add(claim_num, tmp, expected)
+
+    challenges = Array(k * 5)
+    target: Mut = expected
+    fsx: Mut = fs2
+    for rnd in unroll(0, k):
+        fsx, target, r = sumcheck_round(fsx, target, 4)
+        ef_copy(r, challenges + rnd * 5)
+
+    # postponed point = challenges reversed (LSB-first fold order)
+    postponed = Array(k * 5)
+    for rnd in unroll(0, k):
+        ef_copy(challenges + rnd * 5, postponed + (k - 1 - rnd) * 5)
+
+    inner = fsx[16]
+    fsx2 = fs_observe_transcript(fsx, 3)  # 4 EF = 20 cells -> 3 chunks
+    nl = inner
+    nr = inner + 5
+    dl = inner + 10
+    dr = inner + 15
+
+    # constraints_eval = alpha*dl*dr + nl*dr + nr*dl
+    t1 = Array(5)
+    ef_mul(dl, dr, t1)
+    t2 = Array(5)
+    ef_mul(alpha, t1, t2)
+    t3 = Array(5)
+    ef_mul(nl, dr, t3)
+    t4 = Array(5)
+    ef_mul(nr, dl, t4)
+    t5 = Array(5)
+    ef_add(t2, t3, t5)
+    ce = Array(5)
+    ef_add(t5, t4, ce)
+
+    eq = Array(5)
+    poly_eq_ee(point, postponed, eq, k)
+    lhs = Array(5)
+    ef_mul(eq, ce, lhs)
+    ef_assert_eq(lhs, target)
+
+    beta = fsx2 + 8
+    next_num = Array(5)
+    next_den = Array(5)
+    dnum = Array(5)
+    ef_sub(nr, nl, dnum)
+    tn = Array(5)
+    ef_mul(beta, dnum, tn)
+    ef_add(nl, tn, next_num)
+    dden = Array(5)
+    ef_sub(dr, dl, dden)
+    td = Array(5)
+    ef_mul(beta, dden, td)
+    ef_add(dl, td, next_den)
+
+    next_point = Array((k + 1) * 5)
+    for rnd in unroll(0, k):
+        ef_copy(postponed + rnd * 5, next_point + rnd * 5)
+    ef_copy(beta, next_point + k * 5)
+    return fsx2, next_point, next_num, next_den
+'''
+
+
 def resolve_guest_lib(module: str) -> str:
     if module == "fs_lib":
         return FS_LIB
     if module == "ef_lib":
         return EF_LIB
+    if module == "gkr_lib":
+        return GKR_LIB
     raise KeyError(module)

@@ -325,10 +325,6 @@ def _resolve_hint(h, resolve_val):
     return h
 
 
-class _LoopBreak(Exception):
-    pass
-
-
 class FnCompiler:
     """Compiles one function instance."""
 
@@ -737,7 +733,6 @@ class FnCompiler:
         # two-step: scaled = rel * block_size; Jump dest = scaled + first_arm
         scaled = Slot(self.alloc())
         dest = Slot(self.alloc())
-        self._match_fixups = getattr(self, "_match_fixups", [])
         # We cannot know block size before compiling arms; compile arms into
         # temp buffers, pad, then emit. Simplest: compile arms into temp lists.
         saved_code = self.code
