@@ -256,6 +256,40 @@ def gkr_verify_layer(fs, point, claim_num, claim_den, k: Const):
 '''
 
 
+WHIR_LIB = '''
+def merkle_verify_leaf_digest(digest, root, index_bits, nodes, height: Const):
+    """Walk a Merkle path in-circuit: digest (8 cells), hinted sibling
+    nodes (height*8 cells), direction bits (height cells, constrained
+    boolean by the caller), root (8 cells). Each level is one
+    poseidon16_compress; left/right order is selected with boolean
+    arithmetic writes (guest idiom: equality-by-write-once-memory)."""
+    cur: Mut = digest
+    for level in unroll(0, height):
+        b = index_bits[level]
+        assert b * b == b
+        children = Array(16)
+        node = nodes + level * 8
+        for i in unroll(0, 8):
+            # children[i] = (1-b)*cur[i] + b*node[i]
+            # children[8+i] = b*cur[i] + (1-b)*node[i]
+            children[i] = cur[i] + b * (node[i] - cur[i])
+            children[8 + i] = node[i] + b * (cur[i] - node[i])
+        out = Array(8)
+        poseidon16_compress(children, children + 8, out)
+        cur = out
+    for i in unroll(0, 8):
+        assert cur[i] == root[i]
+    return
+
+def expand_from_univariate(y, out, n: Const):
+    """out = [y, y^2, y^4, ...] (n EF elements) (point.rs:51-60)."""
+    ef_copy(y, out)
+    for i in unroll(1, n):
+        ef_mul(out + (i - 1) * 5, out + (i - 1) * 5, out + i * 5)
+    return
+'''
+
+
 def resolve_guest_lib(module: str) -> str:
     if module == "fs_lib":
         return FS_LIB
@@ -263,4 +297,6 @@ def resolve_guest_lib(module: str) -> str:
         return EF_LIB
     if module == "gkr_lib":
         return GKR_LIB
+    if module == "whir_lib":
+        return WHIR_LIB
     raise KeyError(module)

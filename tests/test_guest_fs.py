@@ -77,3 +77,61 @@ def main():
     with pytest.raises((RunnerError, AssertionError)):
         execute_bytecode(bytecode, public_input,
                          ExecutionWitness(hints={"raw_transcript": [bad]}))
+
+
+def test_guest_merkle_verify():
+    """In-circuit Merkle path verification against a real host tree."""
+    from leanmultisig_tpu.hash import merkle as hmerkle, sponge
+
+    height = 5
+    digests = rng.integers(0, P, size=(1 << height, 8), dtype=np.uint32)
+    tree = hmerkle.MerkleTree.from_first_layer(digests)
+    index = 13
+    siblings = tree.open_siblings(index, height)
+    bits = [(index >> i) & 1 for i in range(height)]
+
+    src = f'''
+from fs_lib import *
+from ef_lib import *
+from whir_lib import *
+
+HEIGHT = {height}
+ONE_EF_PTR = 32
+ZERO_EFS_PTR = 37
+
+def main():
+    pub = 0
+    digest = pub
+    root = pub + 8
+    bits_buf = Array(HEIGHT)
+    hint_witness("index_bits", bits_buf)
+    nodes = Array(HEIGHT * 8)
+    hint_witness("siblings", nodes)
+    merkle_verify_leaf_digest(digest, root, bits_buf, nodes, HEIGHT)
+    return
+'''
+    bytecode = compile_program(src, import_resolver=resolve_guest_lib)
+    public_input = ([int(x) for x in digests[index]]
+                    + [int(x) for x in tree.root()])
+    witness = ExecutionWitness(hints={
+        "index_bits": [bits],
+        "siblings": [[int(x) for x in siblings.reshape(-1)]]})
+    res = execute_bytecode(bytecode, public_input, witness)
+    assert res.metadata["n_poseidons"] == height
+
+    # wrong sibling -> rejection
+    bad = [int(x) for x in siblings.reshape(-1)]
+    bad[9] = (bad[9] + 1) % P
+    import pytest
+    from leanmultisig_tpu.vm.memory import RunnerError
+    with pytest.raises((RunnerError, AssertionError)):
+        execute_bytecode(bytecode, public_input, ExecutionWitness(
+            hints={"index_bits": [bits], "siblings": [bad]}))
+
+    # wrong path direction -> rejection
+    bad_bits = list(bits)
+    bad_bits[2] ^= 1
+    with pytest.raises((RunnerError, AssertionError)):
+        execute_bytecode(bytecode, public_input, ExecutionWitness(
+            hints={"index_bits": [bad_bits],
+                   "siblings": [[int(x) for x in siblings.reshape(-1)]]}))
