@@ -61,3 +61,31 @@ def get_lib():
         _UNAVAILABLE = True
         _LIB = None
     return _LIB
+
+
+_QLIB = None
+_QUNAVAILABLE = False
+
+
+def get_quintic_lib():
+    global _QLIB, _QUNAVAILABLE
+    if _QLIB is not None or _QUNAVAILABLE:
+        return _QLIB
+    try:
+        os.makedirs(_BUILD, exist_ok=True)
+        src = os.path.join(_DIR, "quintic.c")
+        so = os.path.join(_BUILD, "libquintic.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["cc", "-O3", "-shared", "-fPIC", src, "-o", so],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.quintic_mul_batch.argtypes = [u32p, u32p, u32p, ctypes.c_long]
+        lib.quintic_mul_scalar_batch.argtypes = [u32p, u32p, u32p,
+                                                 ctypes.c_long]
+        _QLIB = lib
+    except Exception:
+        _QUNAVAILABLE = True
+        _QLIB = None
+    return _QLIB
