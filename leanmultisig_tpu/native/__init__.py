@@ -63,6 +63,36 @@ def get_lib():
     return _LIB
 
 
+_FLIB = None
+_FUNAVAILABLE = False
+
+
+def get_fieldops_lib():
+    global _FLIB, _FUNAVAILABLE
+    if _FLIB is not None or _FUNAVAILABLE:
+        return _FLIB
+    try:
+        os.makedirs(_BUILD, exist_ok=True)
+        src = os.path.join(_DIR, "fieldops.c")
+        so = os.path.join(_BUILD, "libfieldops.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["cc", "-O3", "-shared", "-fPIC", src, "-o", so],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.dft_layer.argtypes = [u32p, u32p, ctypes.c_long, ctypes.c_long,
+                                  ctypes.c_long]
+        lib.fold_base.argtypes = [u32p, u32p, u32p, ctypes.c_long]
+        lib.fold_ext.argtypes = [u32p, u32p, u32p, ctypes.c_long]
+        lib.eval_eq.argtypes = [u32p, ctypes.c_long, u32p, u32p]
+        _FLIB = lib
+    except Exception:
+        _FUNAVAILABLE = True
+        _FLIB = None
+    return _FLIB
+
+
 _QLIB = None
 _QUNAVAILABLE = False
 

@@ -1,0 +1,127 @@
+/* Native field-array kernels: DFT butterfly layers, MLE folds, eq tables.
+ *
+ * Canonical uint32 arrays; layouts match whir/dft.py and poly/np_poly.py.
+ * Build: cc -O3 -shared -fPIC fieldops.c -o libfieldops.so
+ */
+
+#include <stdint.h>
+
+#define P 2130706433ull
+
+static inline uint32_t addm(uint32_t a, uint32_t b) {
+    uint32_t s = a + b;
+    return s >= P ? s - (uint32_t)P : s;
+}
+
+static inline uint32_t subm(uint32_t a, uint32_t b) {
+    return a >= b ? a - b : a + (uint32_t)P - b;
+}
+
+static inline uint32_t mulm(uint32_t a, uint32_t b) {
+    return (uint32_t)(((uint64_t)a * b) % P);
+}
+
+/* One evals-basis butterfly layer over axis 0.
+ * x: (n, tail) row-major; layer s: blocks of 2L rows, pair distance L;
+ * (u, v) -> (u + (v-u) t_j, u - (v-u) t_j), j = index within block.
+ * (whir/src/dft.rs:181-196 semantics) */
+void dft_layer(uint32_t *x, const uint32_t *twiddles, long n, long L,
+               long tail) {
+    long block = 2 * L * tail;
+    for (long b0 = 0; b0 < n * tail; b0 += block) {
+        for (long j = 0; j < L; j++) {
+            uint32_t t = twiddles[j];
+            uint32_t *u = x + b0 + j * tail;
+            uint32_t *v = u + L * tail;
+            for (long k = 0; k < tail; k++) {
+                uint32_t w = mulm(subm(v[k], u[k]), t);
+                uint32_t uu = u[k];
+                u[k] = addm(uu, w);
+                v[k] = subm(uu, w);
+            }
+        }
+    }
+}
+
+/* MSB-first fold of a BASE table with an EF scalar:
+ * out[i] = lo[i] + r*(hi[i]-lo[i])  (out ext, trailing axis 5). */
+void fold_base(const uint32_t *m, const uint32_t *r, uint32_t *out, long half) {
+    for (long i = 0; i < half; i++) {
+        uint32_t d = subm(m[half + i], m[i]);
+        for (int k = 0; k < 5; k++) {
+            uint32_t t = mulm(r[k], d);
+            out[5 * i + k] = k == 0 ? addm(m[i], t) : t;
+        }
+    }
+}
+
+/* MSB-first fold of an EXT table with an EF scalar. */
+void fold_ext(const uint32_t *m, const uint32_t *r, uint32_t *out, long half) {
+    for (long i = 0; i < half; i++) {
+        const uint32_t *lo = m + 5 * i;
+        const uint32_t *hi = m + 5 * (half + i);
+        uint32_t d[5];
+        for (int k = 0; k < 5; k++) d[k] = subm(hi[k], lo[k]);
+        /* (d * r) via quintic convolution */
+        uint64_t c[9];
+        for (int k = 0; k < 9; k++) {
+            __uint128_t acc = 0;
+            int s = k - 4 > 0 ? k - 4 : 0;
+            int e = k < 4 ? k : 4;
+            for (int i2 = s; i2 <= e; i2++)
+                acc += (uint64_t)d[i2] * r[k - i2];
+            c[k] = (uint64_t)(acc % P);
+        }
+        for (int k = 3; k >= 0; k--) {
+            uint64_t h = c[5 + k];
+            c[k] = (c[k] + h) % P;
+            c[k + 2] = (c[k + 2] + P - h) % P;
+        }
+        uint32_t *o = out + 5 * i;
+        for (int k = 0; k < 5; k++) o[k] = addm(lo[k], (uint32_t)c[k]);
+    }
+}
+
+/* eq table: out (2^n, 5) = scalar * eq(point, .), big-endian x.
+ * point: (n, 5). (poly/eq_mle.rs:16-26 semantics) */
+void eval_eq(const uint32_t *point, long n, const uint32_t *scalar,
+             uint32_t *out) {
+    out[0] = scalar[0];
+    out[1] = scalar[1];
+    out[2] = scalar[2];
+    out[3] = scalar[3];
+    out[4] = scalar[4];
+    long size = 1;
+    for (long v = 0; v < n; v++) {
+        const uint32_t *a = point + 5 * v;
+        /* expand in place from the back: out[0..size) -> out[0..2*size) */
+        for (long i = size - 1; i >= 0; i--) {
+            const uint32_t *cur = out + 5 * i;
+            uint32_t hi[5];
+            /* hi = cur * a (quintic) */
+            uint64_t c[9];
+            for (int k = 0; k < 9; k++) {
+                __uint128_t acc = 0;
+                int s = k - 4 > 0 ? k - 4 : 0;
+                int e = k < 4 ? k : 4;
+                for (int i2 = s; i2 <= e; i2++)
+                    acc += (uint64_t)cur[i2] * a[k - i2];
+                c[k] = (uint64_t)(acc % P);
+            }
+            for (int k = 3; k >= 0; k--) {
+                uint64_t h = c[5 + k];
+                c[k] = (c[k] + h) % P;
+                c[k + 2] = (c[k + 2] + P - h) % P;
+            }
+            for (int k = 0; k < 5; k++) hi[k] = (uint32_t)c[k];
+            uint32_t *dst_lo = out + 5 * (2 * i);
+            uint32_t *dst_hi = out + 5 * (2 * i + 1);
+            for (int k = 0; k < 5; k++) {
+                uint32_t lo = subm(cur[k], hi[k]);
+                dst_lo[k] = lo;
+                dst_hi[k] = hi[k];
+            }
+        }
+        size *= 2;
+    }
+}

@@ -83,9 +83,21 @@ def eval_mle_base_point(evals: np.ndarray, point: np.ndarray) -> np.ndarray:
 def fold(m: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     """Fix the FIRST (most-significant) variable to alpha (EF scalar)."""
     half = m.shape[0] // 2
+    alpha = np.asarray(alpha, np.uint32)
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    if lib is not None and alpha.shape == (EXT_DEGREE,) and m.ndim <= 2:
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        mc = np.ascontiguousarray(m, np.uint32)
+        ac = np.ascontiguousarray(alpha)
+        out = np.empty((half, EXT_DEGREE), np.uint32)
+        fn = lib.fold_base if m.ndim == 1 else lib.fold_ext
+        fn(mc.ctypes.data_as(u32p), ac.ctypes.data_as(u32p),
+           out.ctypes.data_as(u32p), half)
+        return out
     lo, hi = m[:half], m[half:]
     diff = nf.sub(hi, lo)
-    alpha = np.asarray(alpha, np.uint32)
     if m.ndim == 1:
         term = nf.escalar_mul(np.broadcast_to(alpha, (half, EXT_DEGREE)), diff)
         return nf.eadd(efrom_base_table(lo), term)
@@ -133,6 +145,18 @@ def eval_eq(point: np.ndarray, scalar: np.ndarray | None = None) -> np.ndarray:
 
     (eq_mle.rs:16-26)"""
     point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    if lib is not None:
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        s = np.ascontiguousarray(EONE if scalar is None
+                                 else np.asarray(scalar, np.uint32))
+        pc = np.ascontiguousarray(point)
+        out = np.empty((1 << len(point), EXT_DEGREE), np.uint32)
+        lib.eval_eq(pc.ctypes.data_as(u32p), len(point),
+                    s.ctypes.data_as(u32p), out.ctypes.data_as(u32p))
+        return out
     out = (EONE if scalar is None else np.asarray(scalar, np.uint32))[None, :]
     for alpha in point:
         a = np.broadcast_to(alpha, out.shape)

@@ -59,8 +59,21 @@ def dft_evals(mat: np.ndarray, start_layer: int = 0) -> np.ndarray:
     n = mat.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
-    x = np.asarray(mat, np.uint32).copy()
+    x = np.ascontiguousarray(mat, np.uint32).copy()
     tail = x.shape[1:]
+
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    if lib is not None:
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        tail_n = int(np.prod(tail)) if tail else 1
+        for s in range(start_layer, log_n):
+            t = np.ascontiguousarray(twiddles_for_layer(log_n, s))
+            lib.dft_layer(x.ctypes.data_as(u32p), t.ctypes.data_as(u32p),
+                          n, 1 << s, tail_n)
+        return x
+
     for s in range(start_layer, log_n):
         L = 1 << s
         t = twiddles_for_layer(log_n, s)  # (L,)
