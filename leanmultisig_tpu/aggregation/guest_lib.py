@@ -299,4 +299,7 @@ def resolve_guest_lib(module: str) -> str:
         return GKR_LIB
     if module == "whir_lib":
         return WHIR_LIB
+    if module == "rec_helpers":
+        from .recursion import HELPERS
+        return HELPERS
     raise KeyError(module)

@@ -362,6 +362,8 @@ def verify_generic_logup(verifier_state, c, alphas, alphas_eq, log_memory: int,
         "columns_values": columns_values,
         "total_gkr_n_vars": total_gkr_n_vars,
         "bytecode_evaluation": (bytecode_point, bytecode_value),
+        "numerators_value": numerators_value,
+        "denominators_value": denominators_value,
     }
 
 
