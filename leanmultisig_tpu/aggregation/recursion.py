@@ -103,8 +103,9 @@ class GuestEmitter:
         return out
 
     def ef_scale_const(self, a, c: int) -> str:
+        from ..field.constants import P as _P
         out = self.ef_new()
-        self.emit(f"ef_scale_base_const({a}, {c % (2**31)}, {out})")
+        self.emit(f"ef_scale_base_const({a}, {c % _P}, {out})")
         return out
 
     def source(self) -> str:
@@ -164,13 +165,169 @@ def emit_fingerprint(g: GuestEmitter, domainsep: int, data_vars: list,
     return g.ef_add(acc, dom)
 
 
+def _emit_air_section(g: GuestEmitter, tables_sorted: list, total_gkr: int,
+                      bus_vars: dict, read_ef_group) -> None:
+    """In-circuit batched AIR sumcheck verification (mirrors
+    prover/verify.py:78-133): bus/alpha/eta sampling, initial sum from
+    the logup bus values, the shared max-height sumcheck, and per-table
+    back-loaded contributions with DAG-generated constraint evaluators."""
+    from ..air.tables_air import TABLE_AIRS, max_air_constraints
+    from ..vm import tables as T
+
+    n_tables = len(tables_sorted)
+    max_full_degree = max(TABLE_AIRS[t].degree + 1 for t, _ in tables_sorted)
+    n_max = tables_sorted[0][1]
+    napw = max_air_constraints() + 1
+
+    g.emit("bus_beta = fsv + 8")
+    g.emit("fsv = fs_duplex(fsv)")
+    g.emit("air_alpha = fsv + 8")
+    g.emit("fsv = fs_duplex(fsv)")
+    g.emit("eta = fsv + 8")
+    g.emit(f"apw = Array({napw * 5})")
+    g.emit(f"ef_powers(air_alpha, apw, {napw})")
+    g.emit(f"etapw = Array({n_tables * 5})")
+    g.emit(f"ef_powers(eta, etapw, {n_tables})")
+
+    # initial sum: sum_t eta^t * (sign*num_t + bus_beta*(den_t - c))
+    init = None
+    for idx, (table, _log_n) in enumerate(tables_sorted):
+        sel, dat = bus_vars[table]
+        if T.table_bus(table).direction == "pull":
+            sel = g.ef_sub("ZERO_EF_PTR", sel)
+        term = g.ef_add(sel, g.ef_mul("bus_beta",
+                                      g.ef_sub(dat, "logup_c")))
+        contrib = g.ef_mul(f"etapw + {idx * 5}", term)
+        init = contrib if init is None else g.ef_add(init, contrib)
+
+    g.emit(f"sc_ch = Array({n_max * 5})")
+    g.emit(f"sc_target: Mut = {init}")
+    g.emit(f"for _r in unroll(0, {n_max}):")
+    g.indent += 1
+    g.emit(f"fsv, sc_target, sc_r = sumcheck_round("
+           f"fsv, sc_target, {max_full_degree + 1})")
+    g.emit("ef_copy(sc_r, sc_ch + _r * 5)")
+    g.indent -= 1
+
+    g.emit("air_final: Mut = ZERO_EF_PTR")
+    for idx, (table, log_n) in enumerate(tables_sorted):
+        air = TABLE_AIRS[table]
+        cols = read_ef_group(air.n_columns + air.n_shift)
+        ce = emit_air_constraint_eval(g, table, cols)
+        nat = g.fresh("nat")
+        g.emit(f"{nat} = Array({log_n * 5})")
+        for j in range(log_n):
+            g.emit(f"ef_copy(sc_ch + {(n_max - 1 - j) * 5}, "
+                   f"{nat} + {j * 5})")
+        eq = g.ef_new()
+        g.emit(f"poly_eq_ee(gpoint + {(total_gkr - log_n) * 5}, {nat}, "
+               f"{eq}, {log_n})")
+        kt = "ONE_EF_PTR"
+        for j in range(n_max - log_n):
+            kt = g.ef_mul(kt, f"sc_ch + {j * 5}")
+        contrib = g.ef_mul(g.ef_mul(f"etapw + {idx * 5}", kt),
+                           g.ef_mul(eq, ce))
+        nn = g.fresh("af")
+        g.emit(f"{nn} = Array(5)")
+        g.emit(f"ef_add(air_final, {contrib}, {nn})")
+        g.emit(f"air_final = {nn}")
+    g.emit("ef_assert_eq(air_final, sc_target)")
+
+
+def emit_air_constraint_eval(g: GuestEmitter, table: str, cols_var: str,
+                             apw_var: str = "apw",
+                             bus_beta_var: str = "bus_beta") -> str:
+    """Emit the alpha-batched AIR constraint evaluation at a verifier
+    point (mirrors ConstraintFolder + eval_virtual_bus_column,
+    air/builder.py:17-76): straight-line EF code generated from the
+    symbolic DAG with global structural CSE (reference analog:
+    rec_aggregation compilation of the AIR into guest code).
+
+    cols_var: ptr to (n_columns + n_shift) EF evals (flat then shift).
+    Returns the var holding sum_j alpha^j * constraint_j (bus included
+    at its true position)."""
+    import sys
+
+    from ..air.symbolic import SymConst, SymOp, SymVar, symbolic_constraints
+    from ..air.tables_air import TABLE_AIRS
+    from ..vm.isa import LOGUP_PRECOMPILE_DOMAINSEP as _PRE_DS
+
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 100000))
+    constraints, declared, bus_idx = symbolic_constraints(
+        table, with_bus_index=True)
+    n_flat = TABLE_AIRS[table].n_columns
+
+    skey_memo: dict = {}
+
+    def skey(e):
+        if id(e) in skey_memo:
+            return skey_memo[id(e)]
+        if isinstance(e, SymConst):
+            k = ("c", e.value)
+        elif isinstance(e, SymVar):
+            k = ("v", e.kind, e.col)
+        else:
+            k = (e.op, skey(e.a), skey(e.b))
+        skey_memo[id(e)] = k
+        return k
+
+    emitted: dict = {}
+    const_pool: dict = {}
+
+    def ef_const(c: int) -> str:
+        if c in const_pool:
+            return const_pool[c]
+        v = g.fresh("kc")
+        g.emit(f"{v} = Array(5)")
+        g.emit(f"{v}[0] = {c}")
+        for i in range(1, 5):
+            g.emit(f"{v}[{i}] = 0")
+        const_pool[c] = v
+        return v
+
+    def emit_node(e) -> str:
+        k = skey(e)
+        if k in emitted:
+            return emitted[k]
+        if isinstance(e, SymConst):
+            r = ef_const(e.value)
+        elif isinstance(e, SymVar):
+            col = e.col if e.kind == "flat" else n_flat + e.col
+            r = f"{cols_var} + {col * 5}"
+        elif e.op == "mul" and isinstance(e.a, SymConst):
+            r = g.ef_scale_const(emit_node(e.b), e.a.value)
+        elif e.op == "mul" and isinstance(e.b, SymConst):
+            r = g.ef_scale_const(emit_node(e.a), e.b.value)
+        else:
+            fn = {"add": g.ef_add, "sub": g.ef_sub, "mul": g.ef_mul}[e.op]
+            r = fn(emit_node(e.a), emit_node(e.b))
+        emitted[k] = r
+        return r
+
+    # bus constraint: (sum alphas_eq[i]*data_i + alphas_eq[15]*domsep)
+    #                 * bus_beta + flag     (tables/utils.rs:5-23)
+    flag_v = emit_node(declared[0][0])
+    data_vs = [emit_node(d) for d in declared[1]]
+    fp = emit_fingerprint(g, _PRE_DS, data_vs)
+    bus_val = g.ef_add(g.ef_mul(fp, bus_beta_var), flag_v)
+
+    ordered = (list(constraints[:bus_idx]) + [None]
+               + list(constraints[bus_idx:]))
+    total = None
+    for j, expr in enumerate(ordered):
+        val = bus_val if expr is None else emit_node(expr)
+        term = g.ef_mul(f"{apw_var} + {j * 5}", val)
+        total = term if total is None else g.ef_add(total, term)
+    return total
+
+
 def generate_logup_verifier(log_memory: int, log_bytecode: int,
                             table_log_heights: dict,
                             commitment_ood_samples: int,
                             inner_public_len: int,
                             bytecode_hash_domsep: list,
                             starting_log_inv_rate: int,
-                            tlen: int) -> tuple:
+                            tlen: int, air_section: bool = False) -> tuple:
     """Guest source verifying FS init + commitment parse + the full logup
     section of an inner proof (mirrors prover/verify.py:34-99 +
     protocols/logup.py verify_generic_logup, shapes compile-time).
@@ -327,6 +484,7 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     offset += 1 << log_bc_padded
 
     # per-table sections
+    bus_vars = {}
     for table, log_n in tables_sorted:
         suffix = f"gpoint + {(total_gkr - log_n) * 5}"
         if table == T.EXECUTION:
@@ -345,6 +503,7 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
         acc_num(g.ef_mul(pref_t, sel_eval))
         data_eval = read_ef_group(1)
         acc_den(g.ef_mul(pref_t, data_eval))
+        bus_vars[table] = (sel_eval, data_eval)
         offset += 1 << log_n
 
         for lookup in T.table_lookups(table):
@@ -368,6 +527,10 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
 
     g.emit("ef_assert_eq(rnum, gnum)")
     g.emit("ef_assert_eq(rden, gden)")
+
+    if air_section:
+        _emit_air_section(g, tables_sorted, total_gkr, bus_vars,
+                          read_ef_group)
 
     # --- expose gkr point + claims + bytecode value via public input ------
     g.emit("pub = 0")

@@ -120,6 +120,9 @@ class SymbolicFolder:
         self.shift_cols = [SymVar("shift", i) for i in range(n_shift)]
         self.constraints: list[Sym] = []
         self.declared: list[list[Sym]] = []
+        # position the bus constraint occupies in the BUS=true folder's
+        # constraint order (assert_zero_ef site == first declare_values)
+        self.bus_constraint_index: int | None = None
 
     def flat(self):
         return self.flat_cols
@@ -146,13 +149,17 @@ class SymbolicFolder:
         block(self, state)
 
     def declare_values(self, values):
+        if self.bus_constraint_index is None:
+            self.bus_constraint_index = len(self.constraints)
         self.declared.append([_coerce(v) for v in values])
 
 
-def symbolic_constraints(table: str):
-    """-> (constraints DAG list, declared bus values) for a table."""
+def symbolic_constraints(table: str, with_bus_index: bool = False):
+    """-> (constraints DAG list, declared bus values[, bus index])."""
     from .tables_air import TABLE_AIRS
     air = TABLE_AIRS[table]
     folder = SymbolicFolder(air.n_columns, air.n_shift)
     air.eval_fn(folder, None)
+    if with_bus_index:
+        return folder.constraints, folder.declared, folder.bus_constraint_index
     return folder.constraints, folder.declared

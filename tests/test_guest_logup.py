@@ -66,7 +66,7 @@ def test_guest_verifies_inner_logup():
         inner_public_len=len(public_input),
         bytecode_hash_domsep=[int(x) for x in bc_hash_ds],
         starting_log_inv_rate=builder.starting_log_inv_rate,
-        tlen=int(raw.transcript.size))
+        tlen=int(raw.transcript.size), air_section=True)
 
     guest_bc = compile_program(src, import_resolver=resolve_guest_lib)
 
@@ -98,16 +98,23 @@ def test_guest_verifies_inner_logup():
         [logup["gkr_point"][-bytecode.log_size():], alphas[-n_alphas_suffix:]])
     assert np.array_equal(bc_point, expected_point)
 
-    # tamper: corrupt one transcript cell inside the logup section
+    # tampering past the verified prefix (WHIR tail) -> still accepted
     bad = raw.transcript.copy()
-    bad[-200] = (int(bad[-200]) + 1) % P
-    # (tail tampering lands past the logup prefix -> still accepted)
+    bad[-1] = (int(bad[-1]) + 1) % P
     execute_bytecode(guest_bc, outer_pub, witness(bad))
 
     bad2 = raw.transcript.copy()
     bad2[40] = (int(bad2[40]) + 1) % P  # early: GKR top values region
     with pytest.raises((RunnerError, AssertionError)):
         execute_bytecode(guest_bc, outer_pub, witness(bad2))
+
+    # tamper inside the AIR sumcheck section (first round poly after the
+    # logup prefix, located via the host raw-transcript length)
+    logup_raw_len = sum(len(x) for x in vs.raw_transcript)
+    bad3 = raw.transcript.copy()
+    bad3[logup_raw_len + 6] = (int(bad3[logup_raw_len + 6]) + 1) % P
+    with pytest.raises((RunnerError, AssertionError)):
+        execute_bytecode(guest_bc, outer_pub, witness(bad3))
 
     # tamper: wrong hinted bytecode value must fail
     bad_bval = [int(x) for x in bc_value]
