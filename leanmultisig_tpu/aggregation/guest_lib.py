@@ -287,6 +287,88 @@ def expand_from_univariate(y, out, n: Const):
     for i in unroll(1, n):
         ef_mul(out + (i - 1) * 5, out + (i - 1) * 5, out + i * 5)
     return
+
+def sumcheck_round_pow(fs, target, n_coeffs: Const, bits: Const):
+    """WHIR sumcheck round WITH pow grinding between the poly absorb and
+    the challenge sample (whir/verify.rs:405-435 ordering)."""
+    coeffs = fs[16]
+    fs2 = fs_observe_transcript(fs, div_ceil(n_coeffs * 5, 8))
+    s = Array(5)
+    ef_sum(coeffs, s, n_coeffs)
+    s2 = Array(5)
+    ef_add(s, coeffs, s2)
+    ef_assert_eq(s2, target)
+    fs3 = fs_check_grinding(fs2, bits)
+    r = fs3 + 8
+    new_target = Array(5)
+    ef_horner(coeffs, r, new_target, n_coeffs)
+    return fs3, new_target, r
+
+def decompose_index_bits(value, bits_out):
+    """Constrain the 24+7 decomposition of a sampled base element; fill
+    bits_out (24 cells) with LSB-first boolean bits (the same soundness
+    argument as assert_low_bits_zero; challenger.rs:66-75 uses the low
+    bits as a query index, 'not perfectly uniform' by design)."""
+    hint_decompose_bits_merkle_whir(bits_out, value, 1)
+    partial: Mut = 0
+    for i in unroll(0, 24):
+        b = bits_out[i]
+        assert b * b == b
+        partial = partial + b * (2 ** i)
+    top7 = (partial - value) * 127
+    assert top7 <= 126
+    assert value == partial + top7 * 16777216
+    return
+
+def whir_hash_slice(data, n_chunks: Const):
+    """Sponge hash of n_chunks*8 cells, right-to-left absorption
+    (hash/sponge.py:40-54: each step feeds [state[:8] | chunk] through
+    the feed-forward compression and carries the 8-cell digest);
+    returns ptr to the 8-cell digest."""
+    chain = Array((n_chunks - 1) * 8)
+    poseidon16_compress(data + (n_chunks - 2) * 8, data + (n_chunks - 1) * 8,
+                        chain)
+    for i in unroll(1, n_chunks - 1):
+        poseidon16_compress(chain + (i - 1) * 8, data + (n_chunks - 2 - i) * 8,
+                            chain + i * 8)
+    return chain + (n_chunks - 2) * 8
+
+def mle_fold_base_level(vals, r, new, half: Const):
+    """One MLE fold of 2*half BASE cells by EF r -> half EF values."""
+    for i in unroll(0, half):
+        dbuf = Array(1)
+        dbuf[0] = vals[half + i] - vals[i]
+        t = Array(5)
+        dot_product_be(dbuf, r, t)
+        new[i * 5] = t[0] + vals[i]
+        new[i * 5 + 1] = t[1]
+        new[i * 5 + 2] = t[2]
+        new[i * 5 + 3] = t[3]
+        new[i * 5 + 4] = t[4]
+    return
+
+def mle_eval_base(vals, point, out, k: Const):
+    """Evaluate the MLE of 2^k BASE cells at a k-coord EF point."""
+    half = 2 ** (k - 1)
+    cur = Array(half * 5)
+    mle_fold_base_level(vals, point, cur, half)
+    ef_eval_mle(cur, point + 5, out, k - 1)
+    return
+
+def ef_eval_coeffs(coeffs, point, out, k: Const):
+    """Evaluate a coefficient-basis multilinear (2^k EF coeffs) at a
+    k-coord EF point (poly/np_poly.py eval_multilinear_coeffs)."""
+    cur: Mut = coeffs
+    for v in unroll(0, k):
+        half = 2 ** (k - 1 - v)
+        new = Array(half * 5)
+        for i in unroll(0, half):
+            t = Array(5)
+            ef_mul(point + v * 5, cur + (half + i) * 5, t)
+            ef_add(cur + i * 5, t, new + i * 5)
+        cur = new
+    ef_copy(cur, out)
+    return
 '''
 
 

@@ -563,3 +563,366 @@ ZERO_REGION = {zero_region}
 def main():
 """
     return header + body + "\n", pub_len, 5 + zero_region
+
+
+class WStmt:
+    """Compile-time descriptor of one sparse statement entering the
+    in-circuit WHIR verification (whir/statement.py:24-62 analog).
+
+    kind: "ef"   — point_ref is a guest ptr to n_point EF coords
+          "ood"  — point_ref is ONE EF (univariate), expanded to n_point
+          "base" — point_ref is a base SCALAR var, expanded by squaring
+          "next" — like "ef" but weighted with next_mle
+    values: [(selector:int, value_ref)] where value_ref is a guest EF ptr
+    or ("const", int)."""
+
+    def __init__(self, kind, point_ref, n_point, values, total_n):
+        self.kind = kind
+        self.point_ref = point_ref
+        self.n_point = n_point
+        self.values = values
+        self.total_n = total_n
+
+
+def _emit_ef_const(g: GuestEmitter, pool: dict, c: int) -> str:
+    if c in pool:
+        return pool[c]
+    v = g.fresh("wc")
+    g.emit(f"{v} = Array(5)")
+    g.emit(f"{v}[0] = {int(c) % 2**31}")
+    for i in range(1, 5):
+        g.emit(f"{v}[{i}] = 0")
+    pool[c] = v
+    return v
+
+
+def _emit_next_mle(g: GuestEmitter, x_ref, y_ref, n: int) -> str:
+    """next_mle(x, y) straight-line (poly/np_poly.py:196-219)."""
+    xs = [f"{x_ref} + {i * 5}" for i in range(n)]
+    ys = [f"{y_ref} + {i * 5}" for i in range(n)]
+    eq_prefix = ["ONE_EF_PTR"]
+    for i in range(n):
+        xy = g.ef_mul(xs[i], ys[i])
+        two_xy = g.ef_add(xy, xy)
+        t = g.ef_sub(g.ef_add("ONE_EF_PTR", two_xy), g.ef_add(xs[i], ys[i]))
+        eq_prefix.append(g.ef_mul(eq_prefix[i], t))
+    low_suffix = ["ONE_EF_PTR"] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        t = g.ef_mul(xs[i], g.ef_sub("ONE_EF_PTR", ys[i]))
+        low_suffix[i] = g.ef_mul(low_suffix[i + 1], t)
+    total = "ZERO_EF_PTR"
+    for k in range(n):
+        carry = g.ef_mul(g.ef_sub("ONE_EF_PTR", xs[k]), ys[k])
+        total = g.ef_add(total, g.ef_mul(eq_prefix[k],
+                                         g.ef_mul(carry, low_suffix[k + 1])))
+    prod = "ONE_EF_PTR"
+    for v in xs + ys:
+        prod = g.ef_mul(prod, v)
+    return g.ef_add(total, prod)
+
+
+def emit_whir_section(g: GuestEmitter, config, statements: list,
+                      read_ef_group, root_var: str, ood_pts_var: str,
+                      ood_ans_var: str) -> None:
+    """In-circuit WHIR verification (mirrors whir/verifier.py:121-190),
+    all round structure compile-time. Threads the guest vars `fsv`
+    (Fiat-Shamir state) and emits `wclaim` internally. Merkle openings
+    are consumed from hints "whir_leaf"/"whir_path" in query order."""
+    nv = config.num_variables
+    n_rounds = config.n_rounds()
+    fsr = config.final_sumcheck_rounds
+    ffs = ([config.folding_factor.at_round(0)]
+           + [config.folding_factor.at_round(r + 1) for r in range(n_rounds)]
+           + [fsr])
+    assert sum(ffs) == nv
+    pool: dict = {}
+
+    def value_ref(v):
+        if isinstance(v, tuple) and v[0] == "const":
+            return _emit_ef_const(g, pool, v[1])
+        return v
+
+    # --- initial combine (verify.py:133-137) ------------------------------
+    rounds_rec = []
+    g.emit("fsv = fs_duplex(fsv)")
+    gamma = g.fresh("wg")
+    g.emit(f"{gamma} = fsv + 8")
+    init_ood = config.commitment_ood_samples
+    init_stmts = [WStmt("ood", f"{ood_pts_var} + {q * 5}", nv,
+                        [(0, f"{ood_ans_var} + {q * 5}")], nv)
+                  for q in range(init_ood)] + list(statements)
+    n_vals = sum(len(s.values) for s in init_stmts)
+    gpw = g.fresh("gpw")
+    g.emit(f"{gpw} = Array({n_vals * 5})")
+    g.emit(f"ef_powers({gamma}, {gpw}, {n_vals})")
+    g.emit("wclaim: Mut = ZERO_EF_PTR")
+    i = 0
+    for s in init_stmts:
+        for _sel, v in s.values:
+            term = g.ef_mul(f"{gpw} + {i * 5}", value_ref(v))
+            nn = g.fresh("wcl")
+            g.emit(f"{nn} = Array(5)")
+            g.emit(f"ef_add(wclaim, {term}, {nn})")
+            g.emit(f"wclaim = {nn}")
+            i += 1
+    rounds_rec.append((gpw, init_stmts))
+
+    def emit_sumcheck_phase(k: int, pow_bits: int) -> str:
+        arr = g.fresh("fold")
+        g.emit(f"{arr} = Array({max(k, 1) * 5})")
+        for r in range(k):
+            if pow_bits > 0:
+                g.emit(f"fsv, wclaim, wscr = sumcheck_round_pow("
+                       f"fsv, wclaim, 3, {pow_bits})")
+            else:
+                g.emit("fsv, wclaim, wscr = sumcheck_round(fsv, wclaim, 3)")
+            g.emit(f"ef_copy(wscr, {arr} + {r * 5})")
+        return arr
+
+    fold_arrays = [emit_sumcheck_phase(ffs[0],
+                                       int(config.starting_folding_pow_bits))]
+
+    def emit_stir(rp, prev_root: str, fold_prev: str, leafs_base: bool):
+        """-> list of (alpha_scalar_var|None, fold_value_var)."""
+        qbits = int(rp.query_pow_bits)
+        if qbits > 0:
+            g.emit(f"fsv = fs_check_grinding(fsv, {qbits})")
+        h = (rp.domain_size >> rp.folding_factor).bit_length() - 1
+        nq = rp.num_queries
+        qvals = []
+        for b in range(-(-nq // 8)):
+            if b > 0:
+                g.emit("fsv = fs_duplex(fsv)")
+            rb = g.fresh("srb")
+            g.emit(f"{rb} = fsv + 8")
+            for j in range(min(8, nq - b * 8)):
+                qvals.append(f"{rb}[{j}]")
+        k = rp.folding_factor
+        leaf_cells = (1 << k) * (1 if leafs_base else 5)
+        out = []
+        for val in qvals:
+            bits = g.fresh("qb")
+            g.emit(f"{bits} = Array(24)")
+            g.emit(f"decompose_index_bits({val}, {bits})")
+            leaf = g.fresh("lf")
+            g.emit(f"{leaf} = Array({leaf_cells})")
+            g.emit(f'hint_witness("whir_leaf", {leaf})')
+            nodes = g.fresh("pth")
+            g.emit(f"{nodes} = Array({max(h, 1) * 8})")
+            g.emit(f'hint_witness("whir_path", {nodes})')
+            dg = g.fresh("dg")
+            g.emit(f"{dg} = whir_hash_slice({leaf}, {leaf_cells // 8})")
+            g.emit(f"merkle_verify_leaf_digest({dg}, {prev_root}, {bits}, "
+                   f"{nodes}, {h})")
+            fv = g.ef_new()
+            if leafs_base:
+                g.emit(f"mle_eval_base({leaf}, {fold_prev}, {fv}, {k})")
+            else:
+                g.emit(f"ef_eval_mle({leaf}, {fold_prev}, {fv}, {k})")
+            gen = int(rp.folded_domain_gen)
+            acc = None
+            for j in range(h):
+                gj = pow(gen, 1 << j, 2**31 - 2**24 + 1)
+                t = g.fresh("qt")
+                g.emit(f"{t} = 1 + {bits}[{j}] * {(gj - 1) % (2**31 - 2**24 + 1)}")
+                if acc is None:
+                    acc = t
+                else:
+                    t2 = g.fresh("qa")
+                    g.emit(f"{t2} = {acc} * {t}")
+                    acc = t2
+            out.append((acc, fv))
+        return out
+
+    prev_root, prev_is_initial = root_var, True
+    for ridx in range(n_rounds):
+        rp = config.round_parameters[ridx]
+        # parse round commitment
+        new_root = read_ef_group_base8(g, read_ef_group)
+        opts = g.fresh("opts")
+        g.emit(f"{opts} = Array({max(rp.ood_samples * 5, 1)})")
+        g.emit(f"fsv = fs_sample_ef_vec(fsv, {opts}, {rp.ood_samples})")
+        oans = read_ef_group(rp.ood_samples)
+        stir = emit_stir(rp, prev_root, fold_arrays[-1], ridx == 0)
+        g.emit("fsv = fs_duplex(fsv)")
+        gamma = g.fresh("wg")
+        g.emit(f"{gamma} = fsv + 8")
+        stmts = [WStmt("ood", f"{opts} + {q * 5}", rp.num_variables,
+                       [(0, f"{oans} + {q * 5}")], rp.num_variables)
+                 for q in range(rp.ood_samples)]
+        stmts += [WStmt("base", alpha, rp.num_variables, [(0, fv)],
+                        rp.num_variables) for alpha, fv in stir]
+        n_vals = len(stmts)
+        gpw = g.fresh("gpw")
+        g.emit(f"{gpw} = Array({n_vals * 5})")
+        g.emit(f"ef_powers({gamma}, {gpw}, {n_vals})")
+        for i, s in enumerate(stmts):
+            term = g.ef_mul(f"{gpw} + {i * 5}", s.values[0][1])
+            nn = g.fresh("wcl")
+            g.emit(f"{nn} = Array(5)")
+            g.emit(f"ef_add(wclaim, {term}, {nn})")
+            g.emit(f"wclaim = {nn}")
+        rounds_rec.append((gpw, stmts))
+        fold_arrays.append(emit_sumcheck_phase(ffs[ridx + 1],
+                                               int(rp.folding_pow_bits)))
+        prev_root = new_root
+
+    # --- final polynomial + final queries (verify.py:164-177) -------------
+    n_final = 1 << config.n_vars_of_final_polynomial()
+    fc = read_ef_group(n_final)
+    frc = config.final_round_config()
+    final_stir = emit_stir(frc, prev_root, fold_arrays[-1], n_rounds == 0)
+    for alpha, fv in final_stir:
+        # univariate check: sum fc[i] * alpha^i == fold value
+        pw = g.fresh("fpw")
+        g.emit(f"{pw} = Array({n_final})")
+        g.emit(f"{pw}[0] = 1")
+        if n_final > 1:
+            g.emit(f"{pw}[1] = {alpha}")
+            for j in range(2, n_final):
+                g.emit(f"{pw}[{j}] = {pw}[{j - 1}] * {alpha}")
+        uv = g.ef_new()
+        g.emit(f"dot_product_be({pw}, {fc}, {uv}, {n_final})")
+        g.emit(f"ef_assert_eq({uv}, {fv})")
+
+    fold_arrays.append(emit_sumcheck_phase(fsr, 0))
+
+    # --- full folding point + weights evaluation (verify.py:179-188) ------
+    frfull = g.fresh("frf")
+    g.emit(f"{frfull} = Array({nv * 5})")
+    off = 0
+    for arr, k in zip(fold_arrays, ffs):
+        for j in range(k):
+            g.emit(f"ef_copy({arr} + {j * 5}, {frfull} + {(off + j) * 5})")
+        off += k
+
+    wtotal = "ZERO_EF_PTR"
+    shift = 0
+    for ridx, (gpw, stmts) in enumerate(rounds_rec):
+        if ridx > 0:
+            shift += ffs[ridx - 1]
+        i = 0
+        for s in stmts:
+            inner = f"{frfull} + {(nv - s.n_point) * 5}"
+            if s.kind == "ef":
+                cw = g.ef_new()
+                g.emit(f"poly_eq_ee({s.point_ref}, {inner}, {cw}, "
+                       f"{s.n_point})")
+            elif s.kind == "ood":
+                exp = g.fresh("oex")
+                g.emit(f"{exp} = Array({s.n_point * 5})")
+                g.emit(f"expand_from_univariate({s.point_ref}, {exp}, "
+                       f"{s.n_point})")
+                cw = g.ef_new()
+                g.emit(f"poly_eq_ee({exp}, {inner}, {cw}, {s.n_point})")
+            elif s.kind == "base":
+                pw = g.fresh("bex")
+                g.emit(f"{pw} = Array({s.n_point})")
+                g.emit(f"{pw}[0] = {s.point_ref if s.point_ref else 1}")
+                for j in range(1, s.n_point):
+                    g.emit(f"{pw}[{j}] = {pw}[{j - 1}] * {pw}[{j - 1}]")
+                cw = g.ef_new()
+                g.emit(f"poly_eq_be({pw}, {inner}, {cw}, {s.n_point})")
+            elif s.kind == "next":
+                cw = _emit_next_mle(g, s.point_ref, inner, s.n_point)
+            else:
+                raise ValueError(s.kind)
+            sel_n = s.total_n - s.n_point
+            for sel, v in s.values:
+                w = cw
+                for j in range(sel_n):
+                    coord = f"{frfull} + {(shift + j) * 5}"
+                    if sel & (1 << (sel_n - 1 - j)):
+                        w = g.ef_mul(w, coord)
+                    else:
+                        w = g.ef_mul(w, g.ef_sub("ONE_EF_PTR", coord))
+                wtotal = g.ef_add(wtotal, g.ef_mul(w, f"{gpw} + {i * 5}"))
+                i += 1
+
+    # final value of the sent polynomial at the REVERSED final randomness
+    rev = g.fresh("rev")
+    g.emit(f"{rev} = Array({max(fsr, 1) * 5})")
+    for j in range(fsr):
+        g.emit(f"ef_copy({fold_arrays[-1]} + {(fsr - 1 - j) * 5}, "
+               f"{rev} + {j * 5})")
+    fval = g.ef_new()
+    g.emit(f"ef_eval_coeffs({fc}, {rev}, {fval}, {fsr})")
+    lhs = g.ef_mul(wtotal, fval)
+    g.emit(f"ef_assert_eq({lhs}, wclaim)")
+
+
+def read_ef_group_base8(g: GuestEmitter, read_ef_group) -> str:
+    """Read one 8-base-scalar chunk (a merkle root) from the transcript."""
+    ptr = g.fresh("rt")
+    g.emit(f"{ptr} = fsv[16]")
+    g.emit("fsv = fs_observe_transcript(fsv, 1)")
+    return ptr
+
+
+def generate_whir_standalone(config, statements_shapes: list,
+                             tlen: int) -> tuple:
+    """Guest verifying a STANDALONE WHIR proof in-circuit (test harness
+    for the WHIR machinery; the stacked-PCS integration wires
+    emit_whir_section into the full proof verifier instead).
+
+    statements_shapes: [(n_point, selector)] per sparse statement; the
+    outer public input packs [point (n_point*5) | value (5)] per
+    statement in order. Returns (source, pub_len, preamble_len)."""
+    g = GuestEmitter()
+    nv = config.num_variables
+    s = config.commitment_ood_samples
+
+    g.emit("pre = 0")
+    g.emit("pre[ONE_EF_PTR] = 1")
+    g.emit("for _i in unroll(1, 5):") ; g.indent += 1
+    g.emit("pre[ONE_EF_PTR + _i] = 0") ; g.indent -= 1
+    g.emit("for _i in unroll(0, ZERO_REGION):") ; g.indent += 1
+    g.emit("pre[ZERO_EF_PTR + _i] = 0") ; g.indent -= 1
+
+    g.emit("t = Array(TLEN)")
+    g.emit('hint_witness("raw_transcript", t)')
+    g.emit("fs0 = fs_new(t)")
+    g.emit("root = fs0[16]")
+    g.emit("fsv: Mut = fs_observe_transcript(fs0, 1)")
+    g.emit(f"opts = Array({max(s * 5, 1)})")
+    g.emit(f"fsv = fs_sample_ef_vec(fsv, opts, {s})")
+    g.emit("oans = fsv[16]")
+    g.emit(f"fsv = fs_observe_transcript(fsv, {-(-(s * 5) // 8)})")
+
+    def read_ef_group(n_ef: int) -> str:
+        ptr = g.fresh("grp")
+        g.emit(f"{ptr} = fsv[16]")
+        g.emit(f"fsv = fs_observe_transcript(fsv, {-(-(n_ef * 5) // 8)})")
+        return ptr
+
+    stmts = []
+    off = 0
+    for n_point, selector in statements_shapes:
+        stmts.append(WStmt("ef", f"{off}" if off else "0", n_point,
+                           [(selector, f"{off + n_point * 5}")], nv))
+        off += n_point * 5 + 5
+    pub_len = off
+
+    emit_whir_section(g, config, stmts, read_ef_group, "root", "opts",
+                      "oans")
+    g.emit("return")
+
+    body = g.source()
+    pub_pot = 1 << (pub_len - 1).bit_length()
+    zero_region = 5 * 33
+    header = f"""
+from fs_lib import *
+from ef_lib import *
+from gkr_lib import *
+from whir_lib import *
+from rec_helpers import *
+
+TLEN = {tlen}
+ONE_EF_PTR = {pub_pot}
+ZERO_EF_PTR = {pub_pot + 5}
+ZERO_EFS_PTR = {pub_pot + 5}
+ZERO_REGION = {zero_region}
+
+def main():
+"""
+    return header + body + "\n", pub_len, 5 + zero_region
