@@ -166,7 +166,7 @@ def emit_fingerprint(g: GuestEmitter, domainsep: int, data_vars: list,
 
 
 def _emit_air_section(g: GuestEmitter, tables_sorted: list, total_gkr: int,
-                      bus_vars: dict, read_ef_group) -> None:
+                      bus_vars: dict, read_ef_group) -> dict:
     """In-circuit batched AIR sumcheck verification (mirrors
     prover/verify.py:78-133): bus/alpha/eta sampling, initial sum from
     the logup bus values, the shared max-height sumcheck, and per-table
@@ -210,6 +210,7 @@ def _emit_air_section(g: GuestEmitter, tables_sorted: list, total_gkr: int,
     g.indent -= 1
 
     g.emit("air_final: Mut = ZERO_EF_PTR")
+    air_info = {}
     for idx, (table, log_n) in enumerate(tables_sorted):
         air = TABLE_AIRS[table]
         cols = read_ef_group(air.n_columns + air.n_shift)
@@ -231,7 +232,79 @@ def _emit_air_section(g: GuestEmitter, tables_sorted: list, total_gkr: int,
         g.emit(f"{nn} = Array(5)")
         g.emit(f"ef_add(air_final, {contrib}, {nn})")
         g.emit(f"air_final = {nn}")
+        air_info[table] = (cols, nat)
     g.emit("ef_assert_eq(air_final, sc_target)")
+    return air_info
+
+
+def _emit_stacked_whir(g: GuestEmitter, builder, log_memory: int,
+                       log_bytecode: int, tables_sorted: list,
+                       total_gkr: int, inner_public_len: int, ending_pc: int,
+                       col_vals: dict, air_info: dict, read_ef_group,
+                       logup_vals: tuple) -> None:
+    """Stacked-PCS statement assembly + in-circuit WHIR (mirrors
+    prover/verify.py:135-154 + protocols/stacked_pcs.py:84-117)."""
+    from ..air.tables_air import TABLE_AIRS
+    from ..protocols.stacked_pcs import compute_stacked_n_vars
+    from ..vm.isa import STARTING_PC
+    from ..whir.config import WhirConfig
+
+    v_mem, v_mem_acc, v_bc_acc = logup_vals
+    table_log = dict(tables_sorted)
+    snv = compute_stacked_n_vars(log_memory, log_bytecode, table_log)
+    cfg = WhirConfig(builder, snv)
+
+    pm_len = inner_public_len
+    pm_pot = 1 if pm_len <= 1 else 1 << (pm_len - 1).bit_length()
+    k = pm_pot.bit_length() - 1
+    assert k >= 1, "public input of length <= 1 unsupported in recursion"
+    g.emit(f"pm_point = Array({k * 5})")
+    g.emit(f"fsv = fs_sample_ef_vec(fsv, pm_point, {k})")
+    g.emit("pm_eval = Array(5)")
+    g.emit(f"mle_eval_base(inner_pub, pm_point, pm_eval, {k})")
+
+    stmts = [
+        WStmt("ef", f"gpoint + {(total_gkr - log_memory) * 5}", log_memory,
+              [(0, v_mem), (1, v_mem_acc)], snv),
+        WStmt("ef", "pm_point", k, [(0, "pm_eval")], snv),
+        WStmt("ef", f"gpoint + {(total_gkr - log_bytecode) * 5}",
+              log_bytecode,
+              [((2 << log_memory) >> log_bytecode, v_bc_acc)], snv),
+    ]
+
+    offset = 2 << log_memory
+    offset += 1 << max(log_bytecode, tables_sorted[0][1])
+    for table, n_vars in tables_sorted:
+        if table == T.EXECUTION:
+            stmts.append(WStmt("ef", None, 0,
+                               [(offset + (COL_PC << n_vars),
+                                 ("const", STARTING_PC))], snv))
+            stmts.append(WStmt("ef", None, 0,
+                               [(offset + ((COL_PC + 1) << n_vars) - 1,
+                                 ("const", int(ending_pc)))], snv))
+        air = TABLE_AIRS[table]
+        cols_var, nat_var = air_info[table]
+        committed = [
+            (f"gpoint + {(total_gkr - n_vars) * 5}", col_vals[table], None),
+            (nat_var,
+             {i: f"{cols_var} + {i * 5}" for i in range(air.n_columns)},
+             {i: f"{cols_var} + {(air.n_columns + i) * 5}"
+              for i in range(air.n_shift)}),
+        ]
+        for point_ref, eq_values, next_values in committed:
+            if next_values:
+                stmts.append(WStmt(
+                    "next", point_ref, n_vars,
+                    [((offset >> n_vars) + ci, v)
+                     for ci, v in sorted(next_values.items())], snv))
+            stmts.append(WStmt(
+                "ef", point_ref, n_vars,
+                [((offset >> n_vars) + ci, v)
+                 for ci, v in sorted(eq_values.items())], snv))
+        offset += T.table_n_columns(table) << n_vars
+
+    emit_whir_section(g, cfg, stmts, read_ef_group, "wroot", "ood_pts",
+                      "wood_ans")
 
 
 def emit_air_constraint_eval(g: GuestEmitter, table: str, cols_var: str,
@@ -327,7 +400,9 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
                             inner_public_len: int,
                             bytecode_hash_domsep: list,
                             starting_log_inv_rate: int,
-                            tlen: int, air_section: bool = False) -> tuple:
+                            tlen: int, air_section: bool = False,
+                            whir_config_builder=None,
+                            ending_pc: int | None = None) -> tuple:
     """Guest source verifying FS init + commitment parse + the full logup
     section of an inner proof (mirrors prover/verify.py:34-99 +
     protocols/logup.py verify_generic_logup, shapes compile-time).
@@ -359,8 +434,13 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     g.emit("pre[ZERO_EF_PTR + _i] = 0") ; g.indent -= 1
 
     # --- inner public input + transcript into memory -----------------------
-    g.emit(f"inner_pub = Array({pub_pad})")
+    pm_pot = (1 if inner_public_len <= 1
+              else 1 << (inner_public_len - 1).bit_length())
+    pub_buf = max(pub_pad, pm_pot)
+    g.emit(f"inner_pub = Array({pub_buf})")
     g.emit('hint_witness("inner_public_input", inner_pub)')
+    for i in range(inner_public_len, pub_buf):
+        g.emit(f"assert inner_pub[{i}] == 0")
     g.emit("t = Array(TLEN)")
     g.emit('hint_witness("raw_transcript", t)')
 
@@ -380,10 +460,12 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
         g.emit(f"assert dims_ptr[{i}] == {d}")
 
     # commitment: root chunk + OOD (verify.rs / whir parse_commitment)
+    g.emit("wroot = fs3[16]")
     g.emit("fs4 = fs_observe_transcript(fs3, 1)  # merkle root")
     s = commitment_ood_samples
     g.emit(f"ood_pts = Array({max(s * 5, 1)})")
     g.emit(f"fs5 = fs_sample_ef_vec(fs4, ood_pts, {s})")
+    g.emit("wood_ans = fs5[16]")
     ood_chunks = -(-(s * 5) // 8)
     g.emit(f"fs6 = fs_observe_transcript(fs5, {ood_chunks})  # ood answers")
 
@@ -485,11 +567,15 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
 
     # per-table sections
     bus_vars = {}
+    col_vals = {t: {} for t, _ in tables_sorted}
     for table, log_n in tables_sorted:
         suffix = f"gpoint + {(total_gkr - log_n) * 5}"
         if table == T.EXECUTION:
             pc_eval = read_ef_group(1)
             instr = read_ef_group(N_INSTRUCTION_COLUMNS)
+            col_vals[table][COL_PC] = pc_eval
+            for k in range(N_INSTRUCTION_COLUMNS):
+                col_vals[table][N_RUNTIME_COLUMNS + k] = f"{instr} + {k * 5}"
             pref_t = emit_pref_at(g, offset, log_n, total_gkr, "gpoint")
             acc_num(pref_t)
             data = [f"{instr} + {k * 5}"
@@ -508,8 +594,10 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
 
         for lookup in T.table_lookups(table):
             index_eval = read_ef_group(1)
-            for i, _vcol in enumerate(lookup.values):
+            col_vals[table][lookup.index] = index_eval
+            for i, vcol in enumerate(lookup.values):
                 value_eval = read_ef_group(1)
+                col_vals[table][vcol] = value_eval
                 pref_l = emit_pref_at(g, offset, log_n, total_gkr, "gpoint")
                 acc_num(pref_l)
                 if i == 0:
@@ -529,8 +617,16 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     g.emit("ef_assert_eq(rden, gden)")
 
     if air_section:
-        _emit_air_section(g, tables_sorted, total_gkr, bus_vars,
-                          read_ef_group)
+        air_info = _emit_air_section(g, tables_sorted, total_gkr, bus_vars,
+                                     read_ef_group)
+
+    if whir_config_builder is not None:
+        assert air_section and ending_pc is not None
+        _emit_stacked_whir(g, whir_config_builder, log_memory, log_bytecode,
+                           tables_sorted, total_gkr, inner_public_len,
+                           ending_pc, col_vals, air_info, read_ef_group,
+                           (v_mem, v_mem_acc, v_bc_acc))
+        g.emit("assert fsv[16] == t + TLEN")
 
     # --- expose gkr point + claims + bytecode value via public input ------
     g.emit("pub = 0")
@@ -541,16 +637,24 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     g.emit(f"ef_assert_eq(gnum, pub + {total_gkr * 5})")
     g.emit(f"ef_assert_eq(gden, pub + {total_gkr * 5 + 5})")
     g.emit(f"ef_assert_eq(bval, pub + {total_gkr * 5 + 10})")
+    for i in range(inner_public_len):
+        g.emit(f"assert inner_pub[{i}] == pub[{total_gkr * 5 + 15 + i}]")
+    # expose the logup alphas: the bytecode claim's point suffix, needed
+    # by the host-side bytecode-claim check (bytecode_claims.rs analog)
+    alpha_base = total_gkr * 5 + 15 + inner_public_len
+    for i in range(n_alphas * 5):
+        g.emit(f"assert alphas[{i}] == pub[{alpha_base + i}]")
     g.emit("return")
 
     body = g.source()
-    pub_len = total_gkr * 5 + 15
+    pub_len = total_gkr * 5 + 15 + inner_public_len + n_alphas * 5
     pub_pot = 1 << (pub_len - 1).bit_length()
     zero_region = 5 * max(33, 8)  # zero EFs for ef_sum etc.
     header = f"""
 from fs_lib import *
 from ef_lib import *
 from gkr_lib import *
+from whir_lib import *
 from rec_helpers import *
 
 TLEN = {tlen}
@@ -804,7 +908,9 @@ def emit_whir_section(g: GuestEmitter, config, statements: list,
         i = 0
         for s in stmts:
             inner = f"{frfull} + {(nv - s.n_point) * 5}"
-            if s.kind == "ef":
+            if s.n_point == 0:
+                cw = "ONE_EF_PTR"
+            elif s.kind == "ef":
                 cw = g.ef_new()
                 g.emit(f"poly_eq_ee({s.point_ref}, {inner}, {cw}, "
                        f"{s.n_point})")

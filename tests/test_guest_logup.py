@@ -66,7 +66,8 @@ def test_guest_verifies_inner_logup():
         inner_public_len=len(public_input),
         bytecode_hash_domsep=[int(x) for x in bc_hash_ds],
         starting_log_inv_rate=builder.starting_log_inv_rate,
-        tlen=int(raw.transcript.size), air_section=True)
+        tlen=int(raw.transcript.size), air_section=True,
+        whir_config_builder=builder, ending_pc=bytecode.ending_pc)
 
     guest_bc = compile_program(src, import_resolver=resolve_guest_lib)
 
@@ -74,7 +75,9 @@ def test_guest_verifies_inner_logup():
     outer_pub = ([int(x) for x in logup["gkr_point"].reshape(-1)]
                  + [int(x) for x in logup["numerators_value"]]
                  + [int(x) for x in logup["denominators_value"]]
-                 + [int(x) for x in bc_value])
+                 + [int(x) for x in bc_value]
+                 + list(public_input)
+                 + [int(x) for x in alphas.reshape(-1)])
     assert len(outer_pub) == pub_len
 
     pub_pad = -(-len(public_input) // 8) * 8
@@ -87,7 +90,11 @@ def test_guest_verifies_inner_logup():
                    "inner_public_input": [inner_pub_padded],
                    "bytecode_value": [[int(x) for x in
                                        (bval if bval is not None
-                                        else bc_value)]]})
+                                        else bc_value)]],
+                   "whir_leaf": [[int(x) for x in op.leaf_data.reshape(-1)]
+                                 for op in raw.merkle_openings],
+                   "whir_path": [[int(x) for x in op.path.reshape(-1)]
+                                 for op in raw.merkle_openings]})
 
     res = execute_bytecode(guest_bc, outer_pub, witness(raw.transcript))
     assert res.metadata["cycles"] > 0
@@ -98,10 +105,11 @@ def test_guest_verifies_inner_logup():
         [logup["gkr_point"][-bytecode.log_size():], alphas[-n_alphas_suffix:]])
     assert np.array_equal(bc_point, expected_point)
 
-    # tampering past the verified prefix (WHIR tail) -> still accepted
+    # the guest now consumes the FULL transcript: tail tampering rejects
     bad = raw.transcript.copy()
-    bad[-1] = (int(bad[-1]) + 1) % P
-    execute_bytecode(guest_bc, outer_pub, witness(bad))
+    bad[-10] = (int(bad[-10]) + 1) % P
+    with pytest.raises((RunnerError, AssertionError)):
+        execute_bytecode(guest_bc, outer_pub, witness(bad))
 
     bad2 = raw.transcript.copy()
     bad2[40] = (int(bad2[40]) + 1) % P  # early: GKR top values region

@@ -1,0 +1,54 @@
+"""Recursive proving roundtrip: an inner ExecutionProof wrapped in an
+outer proof of its complete in-circuit verification, then verified
+(outer proof + host-side bytecode-claim reduction).
+
+The full roundtrip proves a ~700k-cycle guest (~10 min on CPU), so it is
+gated behind LMS_SLOW_TESTS=1; the guest EXECUTION of the same verifier
+(the correctness-critical part) runs in the regular suite via
+test_guest_logup/test_guest_whir.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from leanmultisig_tpu.fs.verifier import ProofError
+from leanmultisig_tpu.prover.prove import prove_execution
+from leanmultisig_tpu.vm import ExecutionWitness
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("LMS_SLOW_TESTS"),
+    reason="full recursive prove ~10 min; set LMS_SLOW_TESTS=1")
+
+
+def test_recursive_roundtrip():
+    from test_e2e import _test_builder
+    from test_vm import build_program
+    from leanmultisig_tpu.aggregation.recursion_driver import (
+        _inner_shape, prove_recursively, verify_recursive)
+
+    builder = _test_builder()
+    bc = build_program()
+    pub = [5, 6, 7]
+    proof, _ = prove_execution(bc, pub, ExecutionWitness(), builder)
+    log_memory, tlr, _ds = _inner_shape(bc, pub, proof, builder)
+
+    outer_bc, outer_pub, outer_proof, md = prove_recursively(
+        bc, pub, proof, builder, builder)
+    inner_pub = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
+                                 builder, log_memory, tlr, len(pub))
+    assert inner_pub == pub
+
+    # tampered outer public input (bytecode claim value) must fail
+    bad = list(outer_pub)
+    from leanmultisig_tpu.protocols.logup import (compute_total_active_len,
+                                                  sort_tables_by_height)
+    total_gkr = (compute_total_active_len(
+        log_memory, bc.log_size(), sort_tables_by_height(tlr))
+        - 1).bit_length()
+    k = total_gkr * 5 + 10
+    bad[k] = (bad[k] + 1) % (2**31 - 2**24 + 1)
+    with pytest.raises((ProofError, AssertionError)):
+        verify_recursive(bc, outer_bc, bad, outer_proof, builder,
+                         log_memory, tlr, len(pub))
