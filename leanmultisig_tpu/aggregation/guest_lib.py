@@ -82,26 +82,32 @@ def assert_low_bits_zero(value, bits: Const):
 EF_LIB = '''
 DIM = 5
 
+@inline
 def ef_add(a, b, out):
     add_ee(a, b, out)
     return
 
+@inline
 def ef_sub(a, b, out):
     add_ee(b, out, a)
     return
 
+@inline
 def ef_mul(a, b, out):
     dot_product_ee(a, b, out)
     return
 
+@inline
 def ef_div(a, b, out):
     dot_product_ee(out, b, a)
     return
 
+@inline
 def ef_assert_eq(a, b):
     dot_product_ee(a, ONE_EF_PTR, b)
     return
 
+@inline
 def ef_copy(a, out):
     dot_product_ee(a, ONE_EF_PTR, out)
     return
@@ -260,22 +266,17 @@ WHIR_LIB = '''
 def merkle_verify_leaf_digest(digest, root, index_bits, nodes, height: Const):
     """Walk a Merkle path in-circuit: digest (8 cells), hinted sibling
     nodes (height*8 cells), direction bits (height cells, constrained
-    boolean by the caller), root (8 cells). Each level is one
-    poseidon16_compress; left/right order is selected with boolean
-    arithmetic writes (guest idiom: equality-by-write-once-memory)."""
+    boolean here), root (8 cells). Left/right order is a 2-way branch
+    per level (~6 rows) rather than 16 boolean-arithmetic writes."""
     cur: Mut = digest
     for level in unroll(0, height):
         b = index_bits[level]
         assert b * b == b
-        children = Array(16)
-        node = nodes + level * 8
-        for i in unroll(0, 8):
-            # children[i] = (1-b)*cur[i] + b*node[i]
-            # children[8+i] = b*cur[i] + (1-b)*node[i]
-            children[i] = cur[i] + b * (node[i] - cur[i])
-            children[8 + i] = node[i] + b * (cur[i] - node[i])
         out = Array(8)
-        poseidon16_compress(children, children + 8, out)
+        if b == 0:
+            poseidon16_compress(cur, nodes + level * 8, out)
+        else:
+            poseidon16_compress(nodes + level * 8, cur, out)
         cur = out
     for i in unroll(0, 8):
         assert cur[i] == root[i]

@@ -68,12 +68,17 @@ def _ef(name: str) -> str:
 
 
 class GuestEmitter:
-    """Tiny zkDSL text builder with fresh-name EF temporaries."""
+    """Tiny zkDSL text builder with fresh-name EF temporaries.
+
+    EF ops are emitted as RAW precompile calls (one VM row each) rather
+    than ef_* function calls — call-frame setup would otherwise cost
+    ~10 cycles per 1-row op (the dominant guest cost)."""
 
     def __init__(self):
         self.lines: list[str] = []
         self.counter = 0
         self.indent = 1
+        self.base_const_cells: dict = {}
 
     def fresh(self, prefix="t") -> str:
         self.counter += 1
@@ -89,23 +94,34 @@ class GuestEmitter:
 
     def ef_mul(self, a, b) -> str:
         out = self.ef_new()
-        self.emit(f"ef_mul({a}, {b}, {out})")
+        self.emit(f"dot_product_ee({a}, {b}, {out})")
         return out
 
     def ef_add(self, a, b) -> str:
         out = self.ef_new()
-        self.emit(f"ef_add({a}, {b}, {out})")
+        self.emit(f"add_ee({a}, {b}, {out})")
         return out
 
     def ef_sub(self, a, b) -> str:
         out = self.ef_new()
-        self.emit(f"ef_sub({a}, {b}, {out})")
+        self.emit(f"add_ee({b}, {out}, {a})")
         return out
 
-    def ef_scale_const(self, a, c: int) -> str:
+    def base_const_cell(self, c: int) -> str:
+        """A 1-cell base-field constant, pooled per guest (only emitted
+        at indent depth 1 call sites — all emitter use is straight-line)."""
         from ..field.constants import P as _P
+        c = int(c) % _P
+        if c not in self.base_const_cells:
+            v = self.fresh("kb")
+            self.emit(f"{v} = Array(1)")
+            self.emit(f"{v}[0] = {c}")
+            self.base_const_cells[c] = v
+        return self.base_const_cells[c]
+
+    def ef_scale_const(self, a, c: int) -> str:
         out = self.ef_new()
-        self.emit(f"ef_scale_base_const({a}, {c % _P}, {out})")
+        self.emit(f"dot_product_be({self.base_const_cell(c)}, {a}, {out})")
         return out
 
     def source(self) -> str:
@@ -803,6 +819,11 @@ def emit_whir_section(g: GuestEmitter, config, statements: list,
                 qvals.append(f"{rb}[{j}]")
         k = rp.folding_factor
         leaf_cells = (1 << k) * (1 if leafs_base else 5)
+        # one eq-table of the folding randomness, shared by every query's
+        # leaf evaluation: fold value = <leaf, eq(point)> via ONE sized
+        # dot-product precompile (vs ~13 rows/element of explicit folds)
+        eqt = g.fresh("eqt")
+        g.emit(f"{eqt} = ef_eq_table({fold_prev}, {k})")
         out = []
         for val in qvals:
             bits = g.fresh("qb")
@@ -820,9 +841,9 @@ def emit_whir_section(g: GuestEmitter, config, statements: list,
                    f"{nodes}, {h})")
             fv = g.ef_new()
             if leafs_base:
-                g.emit(f"mle_eval_base({leaf}, {fold_prev}, {fv}, {k})")
+                g.emit(f"dot_product_be({leaf}, {eqt}, {fv}, {1 << k})")
             else:
-                g.emit(f"ef_eval_mle({leaf}, {fold_prev}, {fv}, {k})")
+                g.emit(f"dot_product_ee({leaf}, {eqt}, {fv}, {1 << k})")
             gen = int(rp.folded_domain_gen)
             acc = None
             for j in range(h):

@@ -965,7 +965,13 @@ class FnCompiler:
         return v
 
     def binop_runtime(self, op: str, a, b):
-        """a op b with folding; op in {add, sub, mul, div}."""
+        """a op b with folding; op in {add, sub, mul, div}.
+
+        Pure slot(op)const / slot(op)slot results are CSE-cached at
+        branch depth 0 (slots are write-once, so a computed expression
+        never changes within a frame activation) — this collapses the
+        pervasive `ptr + offset` operand arithmetic of generated guests
+        to one Computation row per distinct expression."""
         if isinstance(a, int) and isinstance(b, int):
             if op == "add":
                 return (a + b) % P
@@ -974,6 +980,14 @@ class FnCompiler:
             if op == "mul":
                 return (a * b) % P
             return (a * pow(b, P - 2, P)) % P
+        if not hasattr(self, "_expr_slots"):
+            self._expr_slots = {}
+        key = (op,
+               a.offset if isinstance(a, Slot) else ("c", int(a) % P),
+               b.offset if isinstance(b, Slot) else ("c", int(b) % P))
+        cached = self._expr_slots.get(key)
+        if cached is not None:
+            return cached
         res = Slot(self.alloc())
         if op == "add":
             self.emit(Computation("add", self.operand(a), self.operand_mfc(b),
@@ -989,6 +1003,8 @@ class FnCompiler:
             # res = a / b  <=>  a = res * b
             self.emit(Computation("mul", MemAfterFp(res.offset),
                                   self.operand_mfc(b), self.operand(a)))
+        if getattr(self, "_branch_depth", 0) == 0:
+            self._expr_slots[key] = res
         return res
 
     def eval_expr(self, node, as_stmt: bool = False):
