@@ -131,10 +131,29 @@ class ProverState:
 
 
 def grind(capacity: np.ndarray, bits: int, batch: int = 1 << 15) -> int:
-    """Smallest-found witness w with permute([cap | w,0,..,0])[8] % 2^bits == 0."""
+    """Witness w with permute([cap | w,0,..,0])[8] % 2^bits == 0.
+
+    Native multicore search when available; chunks scan from zero and
+    return the chunk's smallest hit, keeping the witness identical to a
+    sequential scan (host/device transcript parity)."""
+    from ..field.constants import P
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "poseidon16_grind"):
+        import ctypes
+        cap = np.ascontiguousarray(capacity, np.uint32)
+        capp = cap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        base = 0
+        chunk = max(1 << 14, 1 << bits)
+        while base < P:
+            end = min(base + chunk, P)
+            w = lib.poseidon16_grind(capp, bits, base, end)
+            if w >= 0:
+                return int(w)
+            base = end
+        raise RuntimeError("failed to find grinding witness")
     mask = (1 << bits) - 1
     base = 0
-    from ..field.constants import P
     while base < P:
         n = min(batch, P - base)
         states = np.zeros((n, WIDTH), np.uint32)

@@ -48,14 +48,18 @@ def get_lib():
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             _write_constants_header()
             subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-I", _BUILD, src,
-                 "-o", so],
+                ["cc", "-O3", "-fopenmp", "-shared", "-fPIC", "-I", _BUILD,
+                 src, "-o", so],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.poseidon16_permute_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_long]
         lib.poseidon16_compress_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_long]
+        lib.poseidon16_grind.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_long,
+            ctypes.c_long]
+        lib.poseidon16_grind.restype = ctypes.c_long
         _LIB = lib
     except Exception:
         _UNAVAILABLE = True

@@ -59,11 +59,31 @@ void poseidon16_permute(uint32_t *s) {
 }
 
 void poseidon16_permute_batch(uint32_t *states, long n) {
+    #pragma omp parallel for schedule(static) if (n > 256)
     for (long i = 0; i < n; i++) poseidon16_permute(states + 16 * i);
 }
 
-/* compression mode: out = permute(x) + x (feed-forward) */
+/* PoW grinding: SMALLEST witness in [start, end), parallel min-reduction
+ * (deterministic: matches the sequential scan-from-zero semantics, so
+ * host/device transcripts stay bit-identical). Returns -1 if none. */
+long poseidon16_grind(const uint32_t *capacity, int bits, long start,
+                      long end) {
+    uint32_t mask = (1u << bits) - 1u;
+    long found = 0x7fffffffffffffffL;
+    #pragma omp parallel for schedule(static, 4096) reduction(min:found)
+    for (long w = start; w < end; w++) {
+        uint32_t s[16];
+        for (int j = 0; j < 8; j++) s[j] = capacity[j];
+        s[8] = (uint32_t)w;
+        for (int j = 9; j < 16; j++) s[j] = 0;
+        poseidon16_permute(s);
+        if ((s[8] & mask) == 0 && w < found) found = w;
+    }
+    return found == 0x7fffffffffffffffL ? -1 : found;
+}
+
 void poseidon16_compress_batch(uint32_t *states, long n) {
+    #pragma omp parallel for schedule(static) if (n > 256)
     for (long i = 0; i < n; i++) {
         uint32_t *s = states + 16 * i;
         uint32_t in[16];
