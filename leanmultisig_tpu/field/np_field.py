@@ -27,19 +27,21 @@ def fa(x) -> np.ndarray:
 
 
 def add(a, b):
-    s = np.asarray(a, np.uint64) + np.asarray(b, np.uint64)
-    return (s - PNP * (s >= PNP)).astype(np.uint32)
+    # a, b < P < 2^31: the uint32 sum cannot wrap; branchless reduce
+    # (avoids np.where evaluating an underflowing dead branch on scalars)
+    s = np.asarray(a, np.uint32) + np.asarray(b, np.uint32)
+    return s - (s >= np.uint32(P)).astype(np.uint32) * np.uint32(P)
 
 
 def sub(a, b):
-    a = np.asarray(a, np.uint64)
-    b = np.asarray(b, np.uint64)
-    return np.where(a >= b, a - b, a + PNP - b).astype(np.uint32)
+    a = np.asarray(a, np.uint32)
+    b = np.asarray(b, np.uint32)
+    return np.where(a >= b, a - b, (a + np.uint32(P)) - b)
 
 
 def neg(a):
-    a = np.asarray(a, np.uint64)
-    return np.where(a == 0, a, PNP - a).astype(np.uint32)
+    a = np.asarray(a, np.uint32)
+    return np.where(a == 0, a, np.uint32(P) - a)
 
 
 def mul(a, b):
@@ -129,18 +131,10 @@ def emul(a, b):
     b = np.asarray(b, np.uint32)
     from ..native import get_quintic_lib
     lib = get_quintic_lib()
-    if lib is not None and a.ndim <= 2 and b.ndim <= 2:
+    if lib is not None:
         import ctypes
         u32p = ctypes.POINTER(ctypes.c_uint32)
-        if a.shape == b.shape:
-            ac = np.ascontiguousarray(a)
-            bc = np.ascontiguousarray(b)
-            out = np.empty_like(ac)
-            lib.quintic_mul_batch(ac.ctypes.data_as(u32p),
-                                  bc.ctypes.data_as(u32p),
-                                  out.ctypes.data_as(u32p), a.size // 5)
-            return out
-        if b.shape == (5,) and a.ndim == 2:
+        if b.shape == (5,) and a.ndim >= 2:
             ac = np.ascontiguousarray(a)
             bc = np.ascontiguousarray(b)
             out = np.empty_like(ac)
@@ -149,7 +143,7 @@ def emul(a, b):
                                          out.ctypes.data_as(u32p),
                                          a.size // 5)
             return out
-        if a.shape == (5,) and b.ndim == 2:
+        if a.shape == (5,) and b.ndim >= 2:
             bc = np.ascontiguousarray(b)
             ac = np.ascontiguousarray(a)
             out = np.empty_like(bc)
@@ -158,7 +152,15 @@ def emul(a, b):
                                          out.ctypes.data_as(u32p),
                                          b.size // 5)
             return out
-        # general broadcast shapes fall through to numpy
+        if a.shape != b.shape:
+            a, b = np.broadcast_arrays(a, b)
+        ac = np.ascontiguousarray(a)
+        bc = np.ascontiguousarray(b)
+        out = np.empty_like(ac)
+        lib.quintic_mul_batch(ac.ctypes.data_as(u32p),
+                              bc.ctypes.data_as(u32p),
+                              out.ctypes.data_as(u32p), ac.size // 5)
+        return out
     a64 = a.astype(np.uint64)
     b64 = b.astype(np.uint64)
     # full convolution; products reduced mod P before accumulation

@@ -81,7 +81,7 @@ def get_fieldops_lib():
         so = os.path.join(_BUILD, "libfieldops.so")
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(["cc", "-O3", "-shared", "-fPIC", src, "-o", so],
+            subprocess.run(["cc", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", so],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -111,7 +111,7 @@ def get_quintic_lib():
         so = os.path.join(_BUILD, "libquintic.so")
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(["cc", "-O3", "-shared", "-fPIC", src, "-o", so],
+            subprocess.run(["cc", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", so],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         u32p = ctypes.POINTER(ctypes.c_uint32)

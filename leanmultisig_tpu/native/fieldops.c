@@ -28,7 +28,10 @@ static inline uint32_t mulm(uint32_t a, uint32_t b) {
 void dft_layer(uint32_t *x, const uint32_t *twiddles, long n, long L,
                long tail) {
     long block = 2 * L * tail;
-    for (long b0 = 0; b0 < n * tail; b0 += block) {
+    long n_blocks = (n * tail) / block;
+    #pragma omp parallel for schedule(static) if (n * tail > (1 << 16))
+    for (long bi = 0; bi < n_blocks; bi++) {
+        long b0 = bi * block;
         for (long j = 0; j < L; j++) {
             uint32_t t = twiddles[j];
             uint32_t *u = x + b0 + j * tail;
@@ -46,6 +49,7 @@ void dft_layer(uint32_t *x, const uint32_t *twiddles, long n, long L,
 /* MSB-first fold of a BASE table with an EF scalar:
  * out[i] = lo[i] + r*(hi[i]-lo[i])  (out ext, trailing axis 5). */
 void fold_base(const uint32_t *m, const uint32_t *r, uint32_t *out, long half) {
+    #pragma omp parallel for schedule(static) if (half > 8192)
     for (long i = 0; i < half; i++) {
         uint32_t d = subm(m[half + i], m[i]);
         for (int k = 0; k < 5; k++) {
@@ -57,6 +61,7 @@ void fold_base(const uint32_t *m, const uint32_t *r, uint32_t *out, long half) {
 
 /* MSB-first fold of an EXT table with an EF scalar. */
 void fold_ext(const uint32_t *m, const uint32_t *r, uint32_t *out, long half) {
+    #pragma omp parallel for schedule(static) if (half > 4096)
     for (long i = 0; i < half; i++) {
         const uint32_t *lo = m + 5 * i;
         const uint32_t *hi = m + 5 * (half + i);

@@ -16,6 +16,7 @@
 /* out = a * b elementwise over n extension elements (may alias inputs) */
 void quintic_mul_batch(const uint32_t *a, const uint32_t *b, uint32_t *out,
                        long n) {
+    #pragma omp parallel for schedule(static) if (n > 2048)
     for (long e = 0; e < n; e++) {
         const uint32_t *x = a + 5 * e;
         const uint32_t *y = b + 5 * e;
@@ -42,6 +43,7 @@ void quintic_mul_batch(const uint32_t *a, const uint32_t *b, uint32_t *out,
 /* out = a * s where s is ONE extension scalar broadcast over n elements */
 void quintic_mul_scalar_batch(const uint32_t *a, const uint32_t *s,
                               uint32_t *out, long n) {
+    #pragma omp parallel for schedule(static) if (n > 2048)
     for (long e = 0; e < n; e++) {
         const uint32_t *x = a + 5 * e;
         uint64_t c[9];
