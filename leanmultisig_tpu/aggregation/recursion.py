@@ -418,7 +418,8 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
                             starting_log_inv_rate: int,
                             tlen: int, air_section: bool = False,
                             whir_config_builder=None,
-                            ending_pc: int | None = None) -> tuple:
+                            ending_pc: int | None = None,
+                            n_proofs: int = 1) -> tuple:
     """Guest source verifying FS init + commitment parse + the full logup
     section of an inner proof (mirrors prover/verify.py:34-99 +
     protocols/logup.py verify_generic_logup, shapes compile-time).
@@ -427,7 +428,12 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
       [gkr final point (total_gkr*5) | claim_num(5) | claim_den(5) |
        bytecode_value(5)]
     Hints: "raw_transcript", "inner_public_input", "bytecode_value".
-    Returns (source, outer_public_len, preamble_memory_len).
+    Returns (source, outer_public_len, preamble_memory_len); with
+    n_proofs > 1 the verification body compiles ONCE as verify_child(pub)
+    and runs per child proof (same shape, per-child hint streams and
+    public-input segment) — the type-1 aggregation structure
+    (rec_aggregation/type_1_aggregation.rs analog). outer_public_len is
+    then the TOTAL over children.
     """
     assert commitment_ood_samples >= 1
     g = GuestEmitter()
@@ -441,13 +447,6 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     pub_pad = -(-inner_public_len // 8) * 8
     dims = ([starting_log_inv_rate, log_memory, inner_public_len]
             + [table_log_heights[t] for t in T.ALL_TABLES])
-
-    g.emit("pre = 0")
-    g.emit("pre[ONE_EF_PTR] = 1")
-    g.emit("for _i in unroll(1, 5):") ; g.indent += 1
-    g.emit("pre[ONE_EF_PTR + _i] = 0") ; g.indent -= 1
-    g.emit("for _i in unroll(0, ZERO_REGION):") ; g.indent += 1
-    g.emit("pre[ZERO_EF_PTR + _i] = 0") ; g.indent -= 1
 
     # --- inner public input + transcript into memory -----------------------
     pm_pot = (1 if inner_public_len <= 1
@@ -645,7 +644,6 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
         g.emit("assert fsv[16] == t + TLEN")
 
     # --- expose gkr point + claims + bytecode value via public input ------
-    g.emit("pub = 0")
     g.emit(f"for _i in unroll(0, {total_gkr * 5}):")
     g.indent += 1
     g.emit("assert gpoint[_i] == pub[_i]")
@@ -664,8 +662,18 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
 
     body = g.source()
     pub_len = total_gkr * 5 + 15 + inner_public_len + n_alphas * 5
-    pub_pot = 1 << (pub_len - 1).bit_length()
+    total_pub = pub_len * n_proofs
+    pub_pot = 1 << (total_pub - 1).bit_length()
     zero_region = 5 * max(33, 8)  # zero EFs for ef_sum etc.
+    main_lines = ["    pre = 0",
+                  "    pre[ONE_EF_PTR] = 1",
+                  "    for _i in unroll(1, 5):",
+                  "        pre[ONE_EF_PTR + _i] = 0",
+                  "    for _i in unroll(0, ZERO_REGION):",
+                  "        pre[ZERO_EF_PTR + _i] = 0"]
+    for i in range(n_proofs):
+        main_lines.append(f"    verify_child({i * pub_len})")
+    main_lines.append("    return")
     header = f"""
 from fs_lib import *
 from ef_lib import *
@@ -681,8 +689,11 @@ ZERO_EFS_PTR = {pub_pot + 5}
 ZERO_REGION = {zero_region}
 
 def main():
+""" + "\n".join(main_lines) + """
+
+def verify_child(pub):
 """
-    return header + body + "\n", pub_len, 5 + zero_region
+    return header + body + "\n", total_pub, 5 + zero_region
 
 
 class WStmt:

@@ -54,80 +54,105 @@ def _inner_shape(inner_bc, inner_public_input, proof, builder):
 
 def prove_recursively(inner_bc, inner_public_input, inner_proof,
                       inner_builder, outer_builder):
+    """Single-child wrapper over prove_aggregated."""
+    return prove_aggregated(inner_bc, [(inner_public_input, inner_proof)],
+                            inner_builder, outer_builder)
+
+
+def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
     """-> (outer_bytecode, outer_public_input, outer_proof, metadata).
 
-    Host-verifies the inner proof once (producing the raw transcript the
-    guest consumes), executes the generated verifier guest on it, and
-    proves that execution."""
+    children: [(public_input, proof)] sharing inner_bc and proof shape.
+    One guest function verifies each child in turn (type-1 aggregation
+    structure, rec_aggregation/type_1_aggregation.rs analog): host-
+    verifies each child (producing the raw transcript the guest
+    consumes), executes the generated multi-verifier guest, proves it."""
+    assert children
+    pub0, proof0 = children[0]
     log_memory, table_log_n_rows, bc_hash_ds = _inner_shape(
-        inner_bc, inner_public_input, inner_proof, inner_builder)
+        inner_bc, pub0, proof0, inner_builder)
 
-    # full host verification -> raw transcript + merkle openings + claims
-    vs = VerifierState(inner_proof)
-    vs.observe_scalars(np.asarray(inner_public_input, np.uint32))
-    vs.observe_scalars(bc_hash_ds)
     from ..protocols.logup import verify_generic_logup
     from ..protocols.stacked_pcs import stacked_pcs_parse_commitment
-    dims = [int(x) for x in vs.next_base_scalars_vec(3 + len(T.ALL_TABLES))]
-    stacked_n_vars, _pc = stacked_pcs_parse_commitment(
-        inner_builder, vs, log_memory, inner_bc.log_size(), table_log_n_rows)
-    logup_c = vs.sample()
-    vs.duplex()
-    alphas = vs.sample_vec(N_ALPHAS)
-    logup = verify_generic_logup(vs, logup_c, alphas, pp.eval_eq(alphas),
-                                 log_memory, inner_bc.instructions_multilinear,
-                                 table_log_n_rows)
-    _bc_eval, raw = verify_execution(inner_bc, inner_public_input,
-                                     inner_proof, inner_builder)
 
+    per_child = []
+    for inner_public_input, inner_proof in children:
+        vs = VerifierState(inner_proof)
+        vs.observe_scalars(np.asarray(inner_public_input, np.uint32))
+        vs.observe_scalars(bc_hash_ds)
+        dims = [int(x)
+                for x in vs.next_base_scalars_vec(3 + len(T.ALL_TABLES))]
+        assert dims[1] == log_memory, "children must share proof shape"
+        stacked_n_vars, _pc = stacked_pcs_parse_commitment(
+            inner_builder, vs, log_memory, inner_bc.log_size(),
+            table_log_n_rows)
+        logup_c = vs.sample()
+        vs.duplex()
+        alphas = vs.sample_vec(N_ALPHAS)
+        logup = verify_generic_logup(
+            vs, logup_c, alphas, pp.eval_eq(alphas), log_memory,
+            inner_bc.instructions_multilinear, table_log_n_rows)
+        _bc_eval, raw = verify_execution(inner_bc, inner_public_input,
+                                         inner_proof, inner_builder)
+        per_child.append((inner_public_input, logup, alphas, raw))
+
+    raw0 = per_child[0][3]
     ood = WhirConfig(inner_builder, stacked_n_vars).commitment_ood_samples
     key = (log_memory, tuple(sorted(table_log_n_rows.items())), ood,
-           len(inner_public_input), tuple(int(x) for x in bc_hash_ds),
-           inner_builder.starting_log_inv_rate, int(raw.transcript.size))
+           len(pub0), tuple(int(x) for x in bc_hash_ds),
+           inner_builder.starting_log_inv_rate, int(raw0.transcript.size),
+           len(children))
     if key not in _GUEST_CACHE:
         src, pub_len, preamble_len = generate_logup_verifier(
             log_memory=log_memory,
             log_bytecode=inner_bc.log_size(),
             table_log_heights=table_log_n_rows,
             commitment_ood_samples=ood,
-            inner_public_len=len(inner_public_input),
+            inner_public_len=len(pub0),
             bytecode_hash_domsep=[int(x) for x in bc_hash_ds],
             starting_log_inv_rate=inner_builder.starting_log_inv_rate,
-            tlen=int(raw.transcript.size), air_section=True,
+            tlen=int(raw0.transcript.size), air_section=True,
             whir_config_builder=inner_builder,
-            ending_pc=inner_bc.ending_pc)
+            ending_pc=inner_bc.ending_pc, n_proofs=len(children))
         _GUEST_CACHE[key] = (compile_program(
             src, import_resolver=resolve_guest_lib), pub_len, preamble_len)
     guest_bc, pub_len, preamble_len = _GUEST_CACHE[key]
 
-    bc_point, bc_value = logup["bytecode_evaluation"]
-    outer_pub = ([int(x) for x in logup["gkr_point"].reshape(-1)]
-                 + [int(x) for x in logup["numerators_value"]]
-                 + [int(x) for x in logup["denominators_value"]]
-                 + [int(x) for x in bc_value]
-                 + [int(x) for x in inner_public_input]
-                 + [int(x) for x in alphas.reshape(-1)])
+    outer_pub = []
+    hints = {"raw_transcript": [], "inner_public_input": [],
+             "bytecode_value": [], "whir_leaf": [], "whir_path": []}
+    bc_points = []
+    pub_pad = -(-len(pub0) // 8) * 8
+    pm_pot = 1 if len(pub0) <= 1 else 1 << (len(pub0) - 1).bit_length()
+    buf = max(pub_pad, pm_pot)
+    for inner_public_input, logup, alphas, raw in per_child:
+        assert raw.transcript.size == raw0.transcript.size, \
+            "children must share transcript shape"
+        bc_point, bc_value = logup["bytecode_evaluation"]
+        bc_points.append(bc_point)
+        outer_pub += ([int(x) for x in logup["gkr_point"].reshape(-1)]
+                      + [int(x) for x in logup["numerators_value"]]
+                      + [int(x) for x in logup["denominators_value"]]
+                      + [int(x) for x in bc_value]
+                      + [int(x) for x in inner_public_input]
+                      + [int(x) for x in alphas.reshape(-1)])
+        hints["raw_transcript"].append([int(x) for x in raw.transcript])
+        hints["inner_public_input"].append(
+            list(int(x) for x in inner_public_input)
+            + [0] * (buf - len(inner_public_input)))
+        hints["bytecode_value"].append([int(x) for x in bc_value])
+        hints["whir_leaf"] += [[int(x) for x in op.leaf_data.reshape(-1)]
+                               for op in raw.merkle_openings]
+        hints["whir_path"] += [[int(x) for x in op.path.reshape(-1)]
+                               for op in raw.merkle_openings]
     assert len(outer_pub) == pub_len
 
-    pub_pad = -(-len(inner_public_input) // 8) * 8
-    pm_pot = (1 if len(inner_public_input) <= 1
-              else 1 << (len(inner_public_input) - 1).bit_length())
-    buf = max(pub_pad, pm_pot)
-    inner_pub_padded = (list(int(x) for x in inner_public_input)
-                        + [0] * (buf - len(inner_public_input)))
-    witness = ExecutionWitness(
-        preamble_memory_len=preamble_len,
-        hints={"raw_transcript": [[int(x) for x in raw.transcript]],
-               "inner_public_input": [inner_pub_padded],
-               "bytecode_value": [[int(x) for x in bc_value]],
-               "whir_leaf": [[int(x) for x in op.leaf_data.reshape(-1)]
-                             for op in raw.merkle_openings],
-               "whir_path": [[int(x) for x in op.path.reshape(-1)]
-                             for op in raw.merkle_openings]})
-
+    witness = ExecutionWitness(preamble_memory_len=preamble_len,
+                               hints=hints)
     outer_proof, metadata = prove_execution(guest_bc, outer_pub, witness,
                                             outer_builder)
-    metadata["bc_point"] = bc_point
+    metadata["bc_points"] = bc_points
+    metadata["n_children"] = len(children)
     return guest_bc, outer_pub, outer_proof, metadata
 
 
@@ -140,22 +165,29 @@ def verify_recursive(inner_bc, outer_bc, outer_public_input, outer_proof,
          the one reduction the guest delegates to the host
          (bytecode_claims.rs:35-106 analog).
     The caller supplies the inner proof shape (it generated the guest).
-    Returns the inner public input embedded in the outer claim."""
+    Returns the list of inner public inputs embedded in the outer claim
+    (one per child; a single list for the 1-child case)."""
     verify_execution(outer_bc, outer_public_input, outer_proof,
                      outer_builder)
 
     tables_sorted = sort_tables_by_height(table_log_n_rows)
     total_gkr = (compute_total_active_len(
         log_memory, inner_bc.log_size(), tables_sorted) - 1).bit_length()
-    gkr_point, _num, _den, bc_value, inner_pub, alphas = \
-        parse_outer_public_input(outer_public_input, total_gkr,
-                                 inner_public_len)
-    bc_point = np.concatenate([gkr_point[-inner_bc.log_size():],
-                               alphas[-LOG_INSTR:]])
-    expected = pp.eval_mle(inner_bc.instructions_multilinear, bc_point)
-    if not np.array_equal(expected, bc_value):
-        raise ProofError("recursive bytecode claim mismatch")
-    return inner_pub
+    seg_len = total_gkr * 5 + 15 + inner_public_len + N_ALPHAS * 5
+    pub = [int(x) for x in outer_public_input]
+    assert len(pub) % seg_len == 0
+    inner_pubs = []
+    for base in range(0, len(pub), seg_len):
+        gkr_point, _num, _den, bc_value, inner_pub, alphas = \
+            parse_outer_public_input(pub[base:base + seg_len], total_gkr,
+                                     inner_public_len)
+        bc_point = np.concatenate([gkr_point[-inner_bc.log_size():],
+                                   alphas[-LOG_INSTR:]])
+        expected = pp.eval_mle(inner_bc.instructions_multilinear, bc_point)
+        if not np.array_equal(expected, bc_value):
+            raise ProofError("recursive bytecode claim mismatch")
+        inner_pubs.append(inner_pub)
+    return inner_pubs[0] if len(inner_pubs) == 1 else inner_pubs
 
 
 def parse_outer_public_input(pub, total_gkr: int, inner_public_len: int):

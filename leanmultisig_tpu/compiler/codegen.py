@@ -307,9 +307,14 @@ class Codegen:
             hints = tuple(_resolve_hint(h, resolve_val) for h in entry.hints)
             final_code.append(CodeEntry(instr, hints))
 
-        return Bytecode(final_code,
-                        starting_frame_memory=main_inst.frame_size,
-                        ending_pc=ending_pc)
+        bc = Bytecode(final_code,
+                      starting_frame_memory=main_inst.frame_size,
+                      ending_pc=ending_pc)
+        # pc -> source-function map for the guest profiler (metadata only;
+        # not part of the committed instruction multilinear)
+        bc.function_spans = sorted(
+            (label_pc[inst.label], inst.fdef.name) for inst in self.order)
+        return bc
 
 
 def _ct_key(v):

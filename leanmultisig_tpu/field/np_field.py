@@ -45,6 +45,26 @@ def neg(a):
 
 
 def mul(a, b):
+    a = np.asarray(a, np.uint32)
+    b = np.asarray(b, np.uint32)
+    if a.size >= 4096 and (a.shape == b.shape or b.ndim == 0):
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
+        if lib is not None:
+            import ctypes
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            ac = np.ascontiguousarray(a)
+            out = np.empty_like(ac)
+            if b.ndim == 0:
+                lib.base_mul_scalar(ac.ctypes.data_as(u32p),
+                                    ctypes.c_uint32(int(b)),
+                                    out.ctypes.data_as(u32p), ac.size)
+            else:
+                bc = np.ascontiguousarray(b)
+                lib.base_mul_batch(ac.ctypes.data_as(u32p),
+                                   bc.ctypes.data_as(u32p),
+                                   out.ctypes.data_as(u32p), ac.size)
+            return out
     return ((a.astype(np.uint64) * b.astype(np.uint64)) % PNP).astype(np.uint32)
 
 

@@ -90,6 +90,9 @@ def get_fieldops_lib():
         lib.fold_base.argtypes = [u32p, u32p, u32p, ctypes.c_long]
         lib.fold_ext.argtypes = [u32p, u32p, u32p, ctypes.c_long]
         lib.eval_eq.argtypes = [u32p, ctypes.c_long, u32p, u32p]
+        lib.base_mul_batch.argtypes = [u32p, u32p, u32p, ctypes.c_long]
+        lib.base_mul_scalar.argtypes = [u32p, ctypes.c_uint32, u32p,
+                                        ctypes.c_long]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

@@ -130,3 +130,17 @@ void eval_eq(const uint32_t *point, long n, const uint32_t *scalar,
         size *= 2;
     }
 }
+
+/* elementwise base-field ops over equal-length arrays */
+void base_mul_batch(const uint32_t *a, const uint32_t *b, uint32_t *out,
+                    long n) {
+    #pragma omp parallel for schedule(static) if (n > (1 << 15))
+    for (long i = 0; i < n; i++)
+        out[i] = (uint32_t)(((uint64_t)a[i] * b[i]) % P);
+}
+
+void base_mul_scalar(const uint32_t *a, uint32_t s, uint32_t *out, long n) {
+    #pragma omp parallel for schedule(static) if (n > (1 << 15))
+    for (long i = 0; i < n; i++)
+        out[i] = (uint32_t)(((uint64_t)a[i] * s) % P);
+}

@@ -52,3 +52,28 @@ def test_recursive_roundtrip():
     with pytest.raises((ProofError, AssertionError)):
         verify_recursive(bc, outer_bc, bad, outer_proof, builder,
                          log_memory, tlr, len(pub))
+
+
+def test_two_child_aggregation_roundtrip():
+    """Type-1 structure: ONE outer proof attesting to TWO inner proofs
+    (shared guest function, per-child hint streams + claims)."""
+    from test_e2e import _test_builder
+    from test_vm import build_program
+    from leanmultisig_tpu.aggregation.recursion_driver import (
+        _inner_shape, prove_aggregated, verify_recursive)
+
+    builder = _test_builder()
+    bc = build_program()
+    children = []
+    for pub in ([5, 6, 7], [9, 10, 11]):
+        proof, _ = prove_execution(bc, pub, ExecutionWitness(), builder)
+        children.append((pub, proof))
+    log_memory, tlr, _ds = _inner_shape(bc, children[0][0], children[0][1],
+                                        builder)
+
+    outer_bc, outer_pub, outer_proof, md = prove_aggregated(
+        bc, children, builder, builder)
+    assert md["n_children"] == 2
+    inner_pubs = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
+                                  builder, log_memory, tlr, 3)
+    assert inner_pubs == [[5, 6, 7], [9, 10, 11]]
