@@ -1,0 +1,142 @@
+"""CLI: `python -m leanmultisig_tpu <command>`.
+
+Mirrors the reference binary (src/main.rs:8-52): the XMSS aggregation
+benchmark with --n-signatures / --log-inv-rate / --tracing /
+--profiling, plus proof artifact helpers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _cmd_xmss(args) -> int:
+    if args.tracing:
+        from .utils.logs import init_tracing
+        init_tracing(True)
+    import numpy as np
+
+    from .aggregation.driver import (aggregate, get_aggregation_bytecode,
+                                     make_signers, sign_all,
+                                     verify_aggregate)
+    from .field.constants import P
+    from .whir.config import default_whir_config_builder
+
+    n = args.n_signatures
+    print(f"generating {n} XMSS signers...", file=sys.stderr)
+    signers = make_signers(n)
+    rng = np.random.default_rng(args.seed)
+    message = rng.integers(0, P, size=8, dtype=np.uint32)
+    sigs = sign_all(signers, message)
+    cfg = default_whir_config_builder(args.log_inv_rate)
+    get_aggregation_bytecode(n)  # compile outside the timed region
+
+    t0 = time.perf_counter()
+    bc, public_input, proof, metadata = aggregate(
+        message, [pk for _, pk in signers], sigs, cfg, native_check=False)
+    dt = time.perf_counter() - t0
+    verify_aggregate(bc, public_input, proof, cfg)
+
+    if args.profiling:
+        from .aggregation.driver import _GUEST_CACHE  # noqa: F401
+        print("(guest profiling: use diagnostics.profile_execution on the "
+              "execution result)", file=sys.stderr)
+    if args.output:
+        from .serialize import proof_to_bytes
+        with open(args.output, "wb") as f:
+            f.write(proof_to_bytes(proof))
+        print(f"proof written to {args.output}", file=sys.stderr)
+
+    print(json.dumps({
+        "n_signatures": n,
+        "prove_s": round(dt, 3),
+        "sigs_per_s": round(n / dt, 3),
+        "proof_KiB": round(proof.proof_size_fe() * 4 / 1024, 1),
+        "cycles": metadata["cycles"],
+        "log_inv_rate": args.log_inv_rate,
+    }))
+    return 0
+
+
+def _cmd_prove(args) -> int:
+    """Prove a zkDSL program from a source file."""
+    if args.tracing:
+        from .utils.logs import init_tracing
+        init_tracing(True)
+    from .compiler import compile_program
+    from .prover.prove import prove_execution
+    from .serialize import proof_to_bytes
+    from .vm import ExecutionWitness
+    from .whir.config import default_whir_config_builder
+
+    src = open(args.source).read()
+    bytecode = compile_program(src)
+    public_input = [int(x) for x in args.public_input.split(",")] \
+        if args.public_input else []
+    proof, metadata = prove_execution(bytecode, public_input,
+                                      ExecutionWitness(),
+                                      default_whir_config_builder(
+                                          args.log_inv_rate))
+    with open(args.output, "wb") as f:
+        f.write(proof_to_bytes(proof))
+    print(json.dumps({"cycles": metadata["cycles"],
+                      "proof_KiB": round(proof.proof_size_fe() * 4 / 1024,
+                                         1),
+                      "output": args.output}))
+    return 0
+
+
+def _cmd_verify(args) -> int:
+    from .compiler import compile_program
+    from .prover.verify import verify_execution
+    from .serialize import proof_from_bytes
+    from .whir.config import default_whir_config_builder
+
+    bytecode = compile_program(open(args.source).read())
+    public_input = [int(x) for x in args.public_input.split(",")] \
+        if args.public_input else []
+    proof = proof_from_bytes(open(args.proof, "rb").read())
+    verify_execution(bytecode, public_input, proof,
+                     default_whir_config_builder(args.log_inv_rate))
+    print("proof OK")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="leanmultisig_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    x = sub.add_parser("xmss", help="XMSS aggregation benchmark")
+    x.add_argument("--n-signatures", type=int, default=8)
+    x.add_argument("--log-inv-rate", type=int, default=1)
+    x.add_argument("--seed", type=int, default=42)
+    x.add_argument("--tracing", action="store_true")
+    x.add_argument("--profiling", action="store_true")
+    x.add_argument("--output", help="write serialized proof here")
+    x.set_defaults(fn=_cmd_xmss)
+
+    pr = sub.add_parser("prove", help="prove a zkDSL program")
+    pr.add_argument("source")
+    pr.add_argument("--public-input", default="")
+    pr.add_argument("--log-inv-rate", type=int, default=1)
+    pr.add_argument("--output", default="proof.bin")
+    pr.add_argument("--tracing", action="store_true")
+    pr.set_defaults(fn=_cmd_prove)
+
+    v = sub.add_parser("verify", help="verify a proof artifact")
+    v.add_argument("source")
+    v.add_argument("proof")
+    v.add_argument("--public-input", default="")
+    v.add_argument("--log-inv-rate", type=int, default=1)
+    v.set_defaults(fn=_cmd_verify)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

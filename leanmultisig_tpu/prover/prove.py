@@ -40,8 +40,11 @@ BUS_SIGN = {"pull": -1, "push": 1}
 
 def prove_execution(bytecode, public_input, witness: ExecutionWitness,
                     whir_config_builder):
-    result = execute_bytecode(bytecode, public_input, witness)
-    trace = get_execution_trace(bytecode, result)
+    from ..utils.logs import span
+    with span("execute"):
+        result = execute_bytecode(bytecode, public_input, witness)
+    with span("trace_gen"):
+        trace = get_execution_trace(bytecode, result)
     traces = trace.traces
     memory = trace.memory
     metadata = trace.metadata
@@ -81,9 +84,12 @@ def prove_execution(bytecode, public_input, witness: ExecutionWitness,
     bytecode_acc = (bytecode_acc % P).astype(np.uint32)
 
     # 1st commitment
-    stacked_n_vars, stacked_witness, global_poly = \
-        stack_polynomials_and_commit(prover_state, whir_config_builder,
-                                     memory, memory_acc, bytecode_acc, traces)
+    from ..utils.logs import span as _span
+    with _span("stack_and_commit"):
+        stacked_n_vars, stacked_witness, global_poly = \
+            stack_polynomials_and_commit(prover_state, whir_config_builder,
+                                         memory, memory_acc, bytecode_acc,
+                                         traces)
 
     # logup (GKR)
     logup_c = prover_state.sample()
@@ -92,7 +98,8 @@ def prove_execution(bytecode, public_input, witness: ExecutionWitness,
     logup_alphas = prover_state.sample_vec(n_alphas)
     logup_alphas_eq = pp.eval_eq(logup_alphas)
 
-    logup = prove_generic_logup(prover_state, logup_c, logup_alphas_eq,
+    with span("logup_gkr"):
+        logup = prove_generic_logup(prover_state, logup_c, logup_alphas_eq,
                                 memory, memory_acc,
                                 bytecode.instructions_multilinear,
                                 bytecode_acc, traces)
@@ -132,7 +139,8 @@ def prove_execution(bytecode, public_input, witness: ExecutionWitness,
         sessions.append(AirSumcheckSession(table, cols_all, eq_suffix,
                                            bus_final, alpha_powers, extra))
 
-    sumcheck_air_point = prove_batched_air_sumcheck(prover_state, sessions,
+    with span("air_sumcheck"):
+        sumcheck_air_point = prove_batched_air_sumcheck(prover_state, sessions,
                                                     air_eta)
 
     for idx, (table, _) in enumerate(tables_sorted):
@@ -167,7 +175,8 @@ def prove_execution(bytecode, public_input, witness: ExecutionWitness,
         committed_statements)
 
     config = WhirConfig(whir_config_builder, stacked_n_vars)
-    whir_open(config, prover_state, global_statements, stacked_witness,
+    with span("whir_open"):
+        whir_open(config, prover_state, global_statements, stacked_witness,
               global_poly)
 
     proof = prover_state.into_proof()
