@@ -17,6 +17,7 @@ and the same mutable-in-loop buffering + loop->recursion transform
 from __future__ import annotations
 
 import ast
+import copy
 from dataclasses import dataclass, field
 
 from ..field.constants import P
@@ -607,30 +608,46 @@ class FnCompiler:
         return names
 
     def _setup_branch_pins(self, branches) -> list:
-        """Pin slots for outer vars assigned inside branches."""
+        """Pin slots for outer vars assigned inside branches.
+
+        Pins CREATED by this construct (4th tuple field) are released by
+        _release_branch_pins when it closes — a later sibling branch must
+        allocate a fresh slot (write-once memory); only pins inherited
+        from an enclosing in-flight construct persist."""
         assigned = set()
         for b in branches:
             assigned |= self._collect_assigned(b)
         pins = []
         for name in sorted(assigned):
             if name in self.pinned:
+                # forward-declared slot doubles as the phi slot
                 pins.append((name, self.pinned[name], name in self.env
-                             and self.env.get(name) is not None))
+                             and self.env.get(name) is not None, False))
                 continue
-            if name in self.env and isinstance(self.env.get(name), (Slot, int)):
-                slot = self.alloc()
-                self.pinned[name] = slot
-                pins.append((name, slot, True))
-            else:
-                slot = self.alloc()
-                self.pinned[name] = slot
-                pins.append((name, slot, False))
+            had = (name in self.env
+                   and isinstance(self.env.get(name), (Slot, int)))
+            # phi slot is NOT registered in self.pinned: arm assignments
+            # rebind env freely; _close_branch writes the final value once
+            # per path (so re-assignment within an arm stays write-once)
+            pins.append((name, self.alloc(), had, True))
         return pins
 
+    def _release_branch_pins(self, pins) -> None:
+        for name, slot, _had, _created in pins:
+            self.env[name] = Slot(slot)
+
     def _close_branch(self, pins, env_before, assigned_here) -> None:
-        """In a branch that did not assign a pinned var, copy the old value."""
-        for name, slot, had_value in pins:
-            if name not in assigned_here and had_value:
+        """Write each pin's final value for this path: the branch's last
+        binding if it assigned, else the pre-branch value (phi)."""
+        for name, slot, had_value, _created in pins:
+            if name in assigned_here:
+                cur = self.env.get(name)
+                if cur is None or (isinstance(cur, Slot)
+                                   and cur.offset == slot):
+                    continue
+                self.emit(Computation("add", self.operand(cur), Constant(0),
+                                      MemAfterFp(slot)))
+            elif had_value:
                 old = env_before.get(name)
                 if old is None:
                     continue
@@ -699,8 +716,7 @@ class FnCompiler:
         self.emit(Jump(Constant(1), Constant(LabelRef(end_label)), FpRel(0)))
         self._exit_branch()
         self.mark(end_label)
-        for name, slot, _ in pins:
-            self.env[name] = Slot(slot)
+        self._release_branch_pins(pins)
 
     def compile_match(self, stmt: ast.Match) -> None:
         value = self.eval_expr(stmt.subject)
@@ -771,8 +787,7 @@ class FnCompiler:
                 self.emit(Computation("add", Constant(0), Constant(0),
                                       Constant(0)))
         self.mark(end_label)
-        for name, slot, _ in pins:
-            self.env[name] = Slot(slot)
+        self._release_branch_pins(pins)
 
     # --- loops ------------------------------------------------------------
     def compile_for(self, stmt: ast.For) -> None:
@@ -797,7 +812,55 @@ class FnCompiler:
         if kind in ("range", "parallel_range"):
             self._compile_runtime_loop(stmt, var, kind == "parallel_range")
             return
+        if kind == "dynamic_unroll":
+            self._compile_dynamic_unroll(stmt, var)
+            return
         raise CompileError(f"unsupported loop kind {kind}")
+
+    def _compile_dynamic_unroll(self, stmt, var: str) -> None:
+        """dynamic_unroll(start, a, n_bits): iterate i in [start, a) with
+        a - start < 2^n_bits, fully unrolled (zkDSL.md:354): the compiler
+        emits the bit decomposition of a - start with boolean + recompose
+        constraints, then per bit (MSB first) a conditional block of 2^j
+        unrolled body copies advancing a runtime cursor."""
+        start = self.ct(stmt.iter.args[0])
+        a_src = ast.unparse(stmt.iter.args[1])
+        n_bits = self.ct(stmt.iter.args[2])
+        du = f"__du_{self.cg.fresh_label('d')}"
+
+        class _SubVar(ast.NodeTransformer):
+            def __init__(self, repl_src: str):
+                self.repl_src = repl_src
+
+            def visit_Name(self, node):
+                if node.id == var and isinstance(node.ctx, ast.Load):
+                    return ast.parse(self.repl_src, mode="eval").body
+                return node
+
+        lines = [f"{du}_d = ({a_src}) - {start}",
+                 f"{du}_bits = Array({n_bits})",
+                 f"hint_decompose_bits({du}_d, {du}_bits, {n_bits})",
+                 f"{du}_sum: Mut = 0"]
+        for jj in range(n_bits):
+            w = 1 << (n_bits - 1 - jj)
+            lines.append(f"{du}_b{jj} = {du}_bits[{jj}]")
+            lines.append(f"assert {du}_b{jj} * {du}_b{jj} == {du}_b{jj}")
+            lines.append(f"{du}_sum = {du}_sum + {du}_b{jj} * {w}")
+        lines.append(f"assert {du}_sum == {du}_d")
+        lines.append(f"{du}_c: Mut = {start}")
+        for jj in range(n_bits):  # MSB first: bits[0] has weight 2^(n-1)
+            chunk = 1 << (n_bits - 1 - jj)
+            lines.append(f"if {du}_b{jj} == 1:")
+            for k in range(chunk):
+                sub = _SubVar(f"({du}_c + {k})")
+                for s in stmt.body:
+                    new = sub.visit(copy.deepcopy(s))
+                    ast.fix_missing_locations(new)
+                    for ln in ast.unparse(new).splitlines():
+                        lines.append("    " + ln)
+            lines.append(f"    {du}_c = {du}_c + {chunk}")
+        src = "\n".join(lines)
+        self.compile_block(ast.parse(src).body)
 
     def _loop_free_vars(self, body, loop_var: str) -> tuple[list, list]:
         """(runtime reads from outer env, outer Muts assigned in body)."""

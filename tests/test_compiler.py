@@ -9,6 +9,7 @@ import pytest
 from leanmultisig_tpu.compiler import compile_program
 from leanmultisig_tpu.field.constants import P
 from leanmultisig_tpu.vm import ExecutionWitness, execute_bytecode
+from leanmultisig_tpu.vm.memory import RunnerError
 
 
 def run(src, public_input=(), hints=None):
@@ -321,3 +322,44 @@ def main():
     proof, metadata = prove_execution(bytecode, public_input,
                                       ExecutionWitness(), _test_builder())
     verify_execution(bytecode, public_input, proof, _test_builder())
+
+
+def test_dynamic_unroll():
+    """dynamic_unroll(start, a, n_bits): runtime-bounded unrolled loop
+    with bit-decomposition gating (zkDSL.md:354)."""
+    src = '''
+def main():
+    pub = 0
+    n = pub[0]
+    total: Mut = 0
+    for i in dynamic_unroll(2, n, 3):
+        total = total + i * i
+    assert total == pub[1]
+    return
+'''
+    bc = compile_program(src)
+    for n in range(2, 10):
+        expected = sum(i * i for i in range(2, n)) % P
+        execute_bytecode(bc, [n, expected, 0, 0], ExecutionWitness())
+    with pytest.raises((RunnerError, AssertionError)):
+        execute_bytecode(bc, [5, 999, 0, 0], ExecutionWitness())
+
+
+def test_sequential_and_multiassign_ifs():
+    """Branch phi slots: one write per executed path, fresh pin per
+    construct (sequential ifs + re-assignment within an arm)."""
+    src = '''
+def main():
+    pub = 0
+    a: Mut = 1
+    if pub[0] == 1:
+        a = a + 1
+        a = a * 3
+    if pub[1] == 1:
+        a = a + 10
+    assert a == pub[2]
+    return
+'''
+    bc = compile_program(src)
+    for args in ([1, 1, 16], [0, 1, 11], [0, 0, 1], [1, 0, 6]):
+        execute_bytecode(bc, args, ExecutionWitness())
