@@ -77,3 +77,39 @@ def test_two_child_aggregation_roundtrip():
     inner_pubs = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
                                   builder, log_memory, tlr, 3)
     assert inner_pubs == [[5, 6, 7], [9, 10, 11]]
+
+
+def test_two_level_xmss_aggregation():
+    """The reference's aggregation story: XMSS signature-aggregation
+    proofs (different messages - the type-2 shape) wrapped in ONE
+    recursive proof, verified end to end."""
+    import numpy as np
+    from leanmultisig_tpu.aggregation.driver import (aggregate,
+                                                     make_signers, sign_all)
+    from leanmultisig_tpu.aggregation.recursion_driver import (
+        _inner_shape, prove_aggregated, verify_recursive)
+    from leanmultisig_tpu.field.constants import P
+    from test_e2e import _test_builder
+
+    cfg = _test_builder()
+    signers = make_signers(2)
+    rng = np.random.default_rng(42)
+    children = []
+    bc = None
+    for _ in range(2):
+        msg = rng.integers(0, P, size=8, dtype=np.uint32)
+        sigs = sign_all(signers, msg)
+        bc, pub, proof, _md = aggregate(msg, [pk for _, pk in signers],
+                                        sigs, cfg, native_check=False)
+        children.append((pub, proof))
+
+    log_memory, tlr, _ = _inner_shape(bc, children[0][0], children[0][1],
+                                      cfg)
+    outer_bc, outer_pub, outer_proof, md = prove_aggregated(
+        bc, children, cfg, cfg)
+    inner_pubs = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
+                                  cfg, log_memory, tlr,
+                                  len(children[0][0]))
+    assert len(inner_pubs) == 2
+    assert inner_pubs[0] == [int(x) for x in children[0][0]]
+    assert inner_pubs[1] == [int(x) for x in children[1][0]]
