@@ -36,9 +36,17 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
     pub_keys = [pk for _, pk in signers]
     cfg = default_whir_config_builder(1)  # rate 1/2, 124-bit, proven regime
 
-    # compile guest outside the timed region (cached across proofs)
+    # compile guest + native kernels outside the timed region (all are
+    # cached on disk across runs)
     from leanmultisig_tpu.aggregation.driver import get_aggregation_bytecode
     get_aggregation_bytecode(n_sigs)
+    from leanmultisig_tpu.air.native_eval import get_native_evaluator
+    from leanmultisig_tpu.native import (get_fieldops_lib, get_lib,
+                                         get_quintic_lib)
+    get_lib(), get_fieldops_lib(), get_quintic_lib()
+    from leanmultisig_tpu.vm import tables as _T
+    for _t in _T.ALL_TABLES:
+        get_native_evaluator(_t)
 
     t0 = time.perf_counter()
     bc, public_input, proof, metadata = aggregate(

@@ -406,6 +406,18 @@ def max_air_constraints() -> int:
 
 def eval_table_air(table: str, flat, shift, alpha_powers,
                    extra: ExtraDataForBuses) -> np.ndarray:
+    # prover path (uniform base or ext row batches with >1 row): fused
+    # generated-C kernels (base + quintic variants)
+    def _rows(c, nd):
+        return (isinstance(c, np.ndarray) and c.ndim == nd
+                and c.dtype == np.uint32 and c.shape[0] > 1)
+    for nd in (1, 2):
+        if (flat and all(_rows(c, nd) for c in flat)
+                and all(_rows(c, nd) for c in shift)):
+            from .native_eval import get_native_evaluator
+            ev = get_native_evaluator(table)
+            if ev is not None:
+                return ev(flat, shift, alpha_powers, extra)
     from .builder import eval_air_at
     air = TABLE_AIRS[table]
     return eval_air_at(lambda b: air.eval_fn(b, extra), flat, shift,

@@ -93,6 +93,8 @@ def get_fieldops_lib():
         lib.base_mul_batch.argtypes = [u32p, u32p, u32p, ctypes.c_long]
         lib.base_mul_scalar.argtypes = [u32p, ctypes.c_uint32, u32p,
                                         ctypes.c_long]
+        lib.stack_z.argtypes = [u32p, ctypes.c_long, u32p, ctypes.c_long,
+                                u32p]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

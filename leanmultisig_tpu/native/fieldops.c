@@ -144,3 +144,26 @@ void base_mul_scalar(const uint32_t *a, uint32_t s, uint32_t *out, long n) {
     for (long i = 0; i < n; i++)
         out[i] = (uint32_t)(((uint64_t)a[i] * s) % P);
 }
+
+/* z-stacked sumcheck points for one column:
+ * out[z*half + j] = lo[j] + zs[z] * (hi[j] - lo[j])
+ * (cells = half base cells, or half*5 for an EF column: the formula is
+ * coefficient-wise, so the flat layout works for both). */
+void stack_z(const uint32_t *col, long half_cells, const uint32_t *zs,
+             long n_z, uint32_t *out) {
+    #pragma omp parallel for schedule(static) if (half_cells * n_z > (1 << 14))
+    for (long z = 0; z < n_z; z++) {
+        uint32_t zz = zs[z];
+        const uint32_t *lo = col;
+        const uint32_t *hi = col + half_cells;
+        uint32_t *o = out + z * half_cells;
+        if (zz == 0) {
+            for (long j = 0; j < half_cells; j++) o[j] = lo[j];
+        } else {
+            for (long j = 0; j < half_cells; j++) {
+                uint32_t d = subm(hi[j], lo[j]);
+                o[j] = addm(lo[j], mulm(zz, d));
+            }
+        }
+    }
+}

@@ -66,18 +66,35 @@ class AirSumcheckSession:
         zs = np.array([0] + list(range(2, degree + 1)), np.uint32)
         n_z = len(zs)
 
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
         stacked = []
-        for c in self.cols:
-            lo, hi = c[:half], c[half:]
-            diff = nf.sub(hi, lo)
-            if c.ndim == 1:
-                pts = nf.add(lo[None, :],
-                             nf.mul(diff[None, :], zs[:, None]))
-                stacked.append(pts.reshape(n_z * half))
-            else:
-                pts = nf.add(lo[None, :, :],
-                             nf.mul(diff[None, :, :], zs[:, None, None]))
-                stacked.append(pts.reshape(n_z * half, 5))
+        if lib is not None:
+            import ctypes
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            zsc = np.ascontiguousarray(zs)
+            zp = zsc.ctypes.data_as(u32p)
+            for c in self.cols:
+                cc = np.ascontiguousarray(c)
+                cells = half * (1 if c.ndim == 1 else 5)
+                out = np.empty((n_z * half,) if c.ndim == 1
+                               else (n_z * half, 5), np.uint32)
+                lib.stack_z(cc.ctypes.data_as(u32p), cells, zp, n_z,
+                            out.ctypes.data_as(u32p))
+                stacked.append(out)
+        else:
+            for c in self.cols:
+                lo, hi = c[:half], c[half:]
+                diff = nf.sub(hi, lo)
+                if c.ndim == 1:
+                    pts = nf.add(lo[None, :],
+                                 nf.mul(diff[None, :], zs[:, None]))
+                    stacked.append(pts.reshape(n_z * half))
+                else:
+                    pts = nf.add(lo[None, :, :],
+                                 nf.mul(diff[None, :, :],
+                                        zs[:, None, None]))
+                    stacked.append(pts.reshape(n_z * half, 5))
 
         rest = self.eq_y[self.rounds_done + 1:]
         eq_table = pp.eval_eq(rest)  # (half, 5)
