@@ -95,6 +95,9 @@ def get_fieldops_lib():
                                         ctypes.c_long]
         lib.stack_z.argtypes = [u32p, ctypes.c_long, u32p, ctypes.c_long,
                                 u32p]
+        lib.gkr_round_evals.argtypes = [u32p, u32p, u32p, u32p, u32p, u32p,
+                                        ctypes.c_long, u32p]
+        lib.base_add_inplace.argtypes = [u32p, u32p, ctypes.c_long]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

@@ -5,6 +5,8 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
 
 #define P 2130706433ull
 
@@ -99,6 +101,42 @@ void eval_eq(const uint32_t *point, long n, const uint32_t *scalar,
     long size = 1;
     for (long v = 0; v < n; v++) {
         const uint32_t *a = point + 5 * v;
+        if (size >= 4096) {
+            /* parallel expansion from a snapshot (in-place back-to-front
+             * is order-dependent, so copy the current table first) */
+            uint32_t *src_t = (uint32_t *)malloc(size * 5 * sizeof(uint32_t));
+            memcpy(src_t, out, size * 5 * sizeof(uint32_t));
+            #pragma omp parallel for schedule(static)
+            for (long i = 0; i < size; i++) {
+                const uint32_t *cur = src_t + 5 * i;
+                uint32_t hi[5];
+                uint64_t c[9];
+                for (int k = 0; k < 9; k++) {
+                    __uint128_t acc = 0;
+                    int s = k - 4 > 0 ? k - 4 : 0;
+                    int e = k < 4 ? k : 4;
+                    for (int i2 = s; i2 <= e; i2++)
+                        acc += (uint64_t)cur[i2] * a[k - i2];
+                    c[k] = (uint64_t)(acc % P);
+                }
+                for (int k = 3; k >= 0; k--) {
+                    uint64_t h = c[5 + k];
+                    c[k] = (c[k] + h) % P;
+                    c[k + 2] = (c[k + 2] + P - h) % P;
+                }
+                for (int k = 0; k < 5; k++) hi[k] = (uint32_t)c[k];
+                uint32_t *dst_lo = out + 5 * (2 * i);
+                uint32_t *dst_hi = out + 5 * (2 * i + 1);
+                for (int k = 0; k < 5; k++) {
+                    uint32_t lo = subm(cur[k], hi[k]);
+                    dst_lo[k] = lo;
+                    dst_hi[k] = hi[k];
+                }
+            }
+            free(src_t);
+            size *= 2;
+            continue;
+        }
         /* expand in place from the back: out[0..size) -> out[0..2*size) */
         for (long i = size - 1; i >= 0; i--) {
             const uint32_t *cur = out + 5 * i;
@@ -166,4 +204,76 @@ void stack_z(const uint32_t *col, long half_cells, const uint32_t *zs,
             }
         }
     }
+}
+
+/* quintic helpers for fused round kernels */
+static void ef5_mul(const uint32_t *x, const uint32_t *y, uint32_t *o) {
+    uint64_t c[9];
+    for (int k = 0; k < 9; k++) {
+        unsigned __int128 acc = 0;
+        int lo = k - 4 > 0 ? k - 4 : 0;
+        int hi = k < 4 ? k : 4;
+        for (int i = lo; i <= hi; i++) acc += (uint64_t)x[i] * y[k - i];
+        c[k] = (uint64_t)(acc % P);
+    }
+    for (int k = 3; k >= 0; k--) {
+        uint64_t h = c[5 + k];
+        c[k] = (c[k] + h) % P;
+        c[k + 2] = (c[k + 2] + P - h) % P;
+    }
+    for (int k = 0; k < 5; k++) o[k] = (uint32_t)c[k];
+}
+
+/* One GKR quotient-layer sumcheck round (degree 2, z in {0,2}):
+ * h(z) = sum_i eq[i] * (nl*dr + nr*dl + alpha*dl*dr)(z) over the halves.
+ * Inputs are (2m, 5) EF tables; out = [h0(5) | h2(5)].
+ * (quotient_gkr/mod.rs prover inner loop, fused.) */
+void gkr_round_evals(const uint32_t *nl, const uint32_t *nr,
+                     const uint32_t *dl, const uint32_t *dr,
+                     const uint32_t *eq, const uint32_t *alpha,
+                     long m, uint32_t *out) {
+    uint32_t tot[10] = {0};
+    #pragma omp parallel if (m > 1024)
+    {
+        uint32_t local[10] = {0};
+        #pragma omp for schedule(static) nowait
+        for (long i = 0; i < m; i++) {
+            const uint32_t *cols[4] = {nl + 5 * i, nr + 5 * i,
+                                       dl + 5 * i, dr + 5 * i};
+            uint32_t v0[4][5], v2[4][5];
+            for (int c = 0; c < 4; c++) {
+                const uint32_t *lo = cols[c];
+                const uint32_t *hi = cols[c] + 5 * m;
+                for (int k = 0; k < 5; k++) {
+                    uint32_t d = subm(hi[k], lo[k]);
+                    v0[c][k] = lo[k];
+                    v2[c][k] = addm(hi[k], d);
+                }
+            }
+            const uint32_t *eqi = eq + 5 * i;
+            for (int z = 0; z < 2; z++) {
+                uint32_t (*v)[5] = z == 0 ? v0 : v2;
+                uint32_t t1[5], t2[5], t3[5], c5[5];
+                ef5_mul(v[0], v[3], t1);          /* nl*dr */
+                ef5_mul(v[1], v[2], t2);          /* nr*dl */
+                ef5_mul(v[2], v[3], t3);          /* dl*dr */
+                ef5_mul(t3, alpha, c5);
+                for (int k = 0; k < 5; k++)
+                    c5[k] = addm(c5[k], addm(t1[k], t2[k]));
+                ef5_mul(c5, eqi, t1);
+                for (int k = 0; k < 5; k++)
+                    local[5 * z + k] = addm(local[5 * z + k], t1[k]);
+            }
+        }
+        #pragma omp critical
+        for (int k = 0; k < 10; k++) tot[k] = addm(tot[k], local[k]);
+    }
+    for (int k = 0; k < 10; k++) out[k] = tot[k];
+}
+
+
+/* out[i] += a[i] (mod P), elementwise over n values */
+void base_add_inplace(uint32_t *out, const uint32_t *a, long n) {
+    #pragma omp parallel for schedule(static) if (n > (1 << 15))
+    for (long i = 0; i < n; i++) out[i] = addm(out[i], a[i]);
 }

@@ -268,13 +268,49 @@ def horner_eval(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
     return acc
 
 
+_LAGRANGE_M: dict = {}
+
+
+def _lagrange_matrix(xs: tuple) -> np.ndarray:
+    """Inverse Vandermonde mod P for small integer point sets (cached):
+    coeffs = M @ ys."""
+    if xs in _LAGRANGE_M:
+        return _LAGRANGE_M[xs]
+    n = len(xs)
+    aug = [[pow(int(x) % P, j, P) for j in range(n)]
+           + [1 if c == i else 0 for c in range(n)]
+           for i, x in enumerate(xs)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if aug[r][col] % P != 0)
+        aug[col], aug[piv] = aug[piv], aug[col]
+        inv = pow(aug[col][col], P - 2, P)
+        aug[col] = [(v * inv) % P for v in aug[col]]
+        for r in range(n):
+            if r != col and aug[r][col]:
+                f = aug[r][col]
+                aug[r] = [(a - f * b) % P for a, b in zip(aug[r], aug[col])]
+    # rows of the inverse map VALUES -> coefficient j:  c = V^-1 ys
+    vinv = np.array([[aug[r][n + c] for c in range(n)] for r in range(n)],
+                    np.uint64)
+    _LAGRANGE_M[xs] = vinv
+    return vinv
+
+
 def lagrange_interpolation(xs: list[int], ys: np.ndarray) -> np.ndarray:
     """Interpolate EF values at distinct base-field ints -> (k,5) coeffs.
 
-    (dense_poly.rs:33-108, incremental Newton-style update)"""
+    (dense_poly.rs:33-108 semantics; implemented as a cached
+    inverse-Vandermonde matmul — the point sets {0,1,2,..,d} are fixed
+    per degree, so no per-call field inversions.)"""
     ys = np.asarray(ys, np.uint32).reshape(-1, EXT_DEGREE)
     n = len(xs)
     assert len(set(xs)) == n
+    if n <= 16:
+        m = _lagrange_matrix(tuple(int(x) % P for x in xs))
+        mh, ml = m >> 16, m & 0xFFFF
+        y64 = ys.astype(np.uint64)
+        acc = (((mh @ y64) % P) << 16) + (ml @ y64)
+        return (acc % P).astype(np.uint32)
     result = np.zeros((0, EXT_DEGREE), np.uint32)
     basis = np.zeros((1, EXT_DEGREE), np.uint32)
     basis[0] = EONE

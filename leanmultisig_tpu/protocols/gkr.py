@@ -41,6 +41,27 @@ class _QuotientLayerComputation:
         dd = nf.emul(dl, dr)
         return nf.eadd(cross, nf.emul(dd, np.broadcast_to(self.alpha, dd.shape)))
 
+    def native_round_evals(self, columns, eq_table):
+        """Fused C round (h(0), h(2) sums) — np_sumcheck hook."""
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
+        if lib is None or not hasattr(lib, "gkr_round_evals"):
+            return None
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        m = columns[0].shape[0] // 2
+        cols = [np.ascontiguousarray(
+            pp.efrom_base_table(c) if c.ndim == 1 else c, np.uint32)
+            for c in columns]
+        eq = np.ascontiguousarray(eq_table[:m], np.uint32)
+        al = np.ascontiguousarray(self.alpha, np.uint32)
+        out = np.empty((2, 5), np.uint32)
+        lib.gkr_round_evals(*[c.ctypes.data_as(u32p) for c in cols],
+                            eq.ctypes.data_as(u32p),
+                            al.ctypes.data_as(u32p), m,
+                            out.ctypes.data_as(u32p))
+        return out
+
 
 def _bit_rev(a: np.ndarray) -> np.ndarray:
     return pp.bit_reverse_permutation(a)

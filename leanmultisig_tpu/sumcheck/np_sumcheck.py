@@ -62,6 +62,14 @@ def compute_round_evals(columns, computation, extra, eq_table, missing_mul_facto
     fold_size = columns[0].shape[0] // 2
     m = fold_size
 
+    native = getattr(computation, "native_round_evals", None)
+    if native is not None and eq_table is not None:
+        h = native(columns, eq_table)
+        if h is not None:
+            if missing_mul_factor is not None:
+                h = np.stack([nf.emul(x, missing_mul_factor) for x in h])
+            return h
+
     lows = [c[:fold_size] for c in columns]
     highs = [c[fold_size:] for c in columns]
     diffs = [nf.sub(h, l) for h, l in zip(highs, lows)]

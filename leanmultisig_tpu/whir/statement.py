@@ -84,6 +84,8 @@ def combine_statement(statements: list[SparseStatement],
             inner_poly = pp.matrix_next_mle_folded(smt.point)
         else:
             inner_poly = None  # eq table built per-value with the scalar baked in
+        from ..native import get_fieldops_lib
+        _lib = get_fieldops_lib()
         for v in smt.values:
             lo = v.selector << inner_n
             if inner_poly is None:
@@ -91,8 +93,16 @@ def combine_statement(statements: list[SparseStatement],
             else:
                 block = nf.emul(inner_poly,
                                 np.broadcast_to(gamma_pow, inner_poly.shape))
-            weights[lo:lo + (1 << inner_n)] = nf.eadd(
-                weights[lo:lo + (1 << inner_n)], block)
+            if _lib is not None:
+                import ctypes
+                u32p = ctypes.POINTER(ctypes.c_uint32)
+                seg = weights[lo:lo + (1 << inner_n)]
+                bc = np.ascontiguousarray(block, np.uint32)
+                _lib.base_add_inplace(seg.ctypes.data_as(u32p),
+                                      bc.ctypes.data_as(u32p), seg.size)
+            else:
+                weights[lo:lo + (1 << inner_n)] = nf.eadd(
+                    weights[lo:lo + (1 << inner_n)], block)
             combined_sum = nf.eadd(combined_sum, nf.emul(v.value, gamma_pow))
             gamma_pow = nf.emul(gamma_pow, gamma)
 
