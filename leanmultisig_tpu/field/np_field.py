@@ -203,7 +203,23 @@ def emul(a, b):
 
 def escalar_mul(a, s):
     """Extension * base-field scalar (broadcast over trailing axis)."""
-    return mul(np.asarray(a, np.uint32), np.asarray(s, np.uint32)[..., None])
+    a = np.asarray(a, np.uint32)
+    s = np.asarray(s, np.uint32)
+    if (a.ndim == s.ndim + 1 and a.shape[:-1] == s.shape
+            and a.shape[-1] == EXT_DEGREE and a.size >= 4096):
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
+        if lib is not None:
+            import ctypes
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            ac = np.ascontiguousarray(a).reshape(-1, EXT_DEGREE)
+            sc = np.ascontiguousarray(s).reshape(-1)
+            out = np.empty_like(ac)
+            lib.base_rowscale(ac.ctypes.data_as(u32p),
+                              sc.ctypes.data_as(u32p),
+                              out.ctypes.data_as(u32p), sc.size)
+            return out.reshape(a.shape)
+    return mul(a, s[..., None])
 
 
 def efrom_base(x):

@@ -98,6 +98,7 @@ def get_fieldops_lib():
         lib.gkr_round_evals.argtypes = [u32p, u32p, u32p, u32p, u32p, u32p,
                                         ctypes.c_long, u32p]
         lib.base_add_inplace.argtypes = [u32p, u32p, ctypes.c_long]
+        lib.base_rowscale.argtypes = [u32p, u32p, u32p, ctypes.c_long]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

@@ -277,3 +277,14 @@ void base_add_inplace(uint32_t *out, const uint32_t *a, long n) {
     #pragma omp parallel for schedule(static) if (n > (1 << 15))
     for (long i = 0; i < n; i++) out[i] = addm(out[i], a[i]);
 }
+
+/* out[i*5+k] = a[i*5+k] * s[i]  (EF rows scaled by per-row base scalars) */
+void base_rowscale(const uint32_t *a, const uint32_t *s, uint32_t *out,
+                   long n_rows) {
+    #pragma omp parallel for schedule(static) if (n_rows > (1 << 14))
+    for (long i = 0; i < n_rows; i++) {
+        uint64_t sv = s[i];
+        for (int k = 0; k < 5; k++)
+            out[5 * i + k] = (uint32_t)((a[5 * i + k] * sv) % P);
+    }
+}
