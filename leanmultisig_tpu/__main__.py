@@ -90,6 +90,19 @@ def _cmd_prove(args) -> int:
     return 0
 
 
+def _cmd_tree_bench(args) -> int:
+    from .aggregation.benchmark import (AggregationTopology, render_tree,
+                                        run_aggregation_benchmark)
+    from .whir.config import default_whir_config_builder
+    fanouts = [int(x) for x in args.fanouts.split(",")]
+    report = run_aggregation_benchmark(
+        AggregationTopology(fanouts),
+        default_whir_config_builder(args.log_inv_rate), seed=args.seed)
+    print(render_tree(report), file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
 def _cmd_verify(args) -> int:
     from .compiler import compile_program
     from .prover.verify import verify_execution
@@ -126,6 +139,14 @@ def main(argv=None) -> int:
     pr.add_argument("--output", default="proof.bin")
     pr.add_argument("--tracing", action="store_true")
     pr.set_defaults(fn=_cmd_prove)
+
+    tb = sub.add_parser("tree-bench",
+                        help="aggregation-tree benchmark (benchmark.rs)")
+    tb.add_argument("--fanouts", default="4,2",
+                    help="sigs-per-leaf,then merge fanouts (e.g. 4,2,2)")
+    tb.add_argument("--log-inv-rate", type=int, default=1)
+    tb.add_argument("--seed", type=int, default=42)
+    tb.set_defaults(fn=_cmd_tree_bench)
 
     v = sub.add_parser("verify", help="verify a proof artifact")
     v.add_argument("source")

@@ -1,0 +1,153 @@
+"""Aggregation-tree benchmark runner.
+
+Analog of the reference `rec_aggregation/benchmark.rs`
+(AggregationTopology + run_aggregation_benchmark, :50-132,491+): build a
+tree whose leaves are XMSS signature-aggregation proofs and whose inner
+nodes recursively wrap their children, time every node, and emit a JSON
+report with per-node {time, proof KiB, cycles, n_xmss}.
+
+The leaves here all share one signer set + per-leaf message (the
+reference's type-1 leaves); inner nodes use prove_aggregated over
+same-shape children (recursion_driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..field.constants import P
+from .driver import aggregate, make_signers, sign_all
+from .recursion_driver import (_inner_shape, prove_aggregated,
+                               verify_recursive)
+
+
+@dataclass
+class NodeStats:
+    kind: str            # "leaf" | "merge"
+    n_xmss: int
+    prove_s: float
+    proof_kib: float
+    cycles: int
+    children: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {"kind": self.kind, "n_xmss": self.n_xmss,
+                "prove_s": round(self.prove_s, 3),
+                "proof_kib": round(self.proof_kib, 1),
+                "cycles": self.cycles,
+                "children": [c.as_dict() for c in self.children]}
+
+
+@dataclass
+class AggregationTopology:
+    """fanouts[0] = signatures per leaf; fanouts[1:] = children per
+    merge level (bottom-up). E.g. [4, 2, 2]: leaves of 4 sigs, pairs of
+    leaves merged, pairs of merges merged."""
+    fanouts: list
+
+    def n_leaves(self) -> int:
+        n = 1
+        for f in self.fanouts[1:]:
+            n *= f
+        return n
+
+    def total_signatures(self) -> int:
+        return self.n_leaves() * self.fanouts[0]
+
+
+def run_aggregation_benchmark(topology: AggregationTopology, builder,
+                              seed: int = 42, verify: bool = True) -> dict:
+    """Run the whole tree; returns the JSON-able report."""
+    rng = np.random.default_rng(seed)
+    n_sigs = topology.fanouts[0]
+    signers = make_signers(n_sigs)
+    pub_keys = [pk for _, pk in signers]
+
+    t_total = time.perf_counter()
+    # --- leaves: XMSS aggregation proofs (one message per leaf) -----------
+    leaves = []
+    leaf_stats = []
+    bc = None
+    for _ in range(topology.n_leaves()):
+        message = rng.integers(0, P, size=8, dtype=np.uint32)
+        sigs = sign_all(signers, message)
+        t0 = time.perf_counter()
+        bc, pub, proof, md = aggregate(message, pub_keys, sigs, builder,
+                                       native_check=False)
+        dt = time.perf_counter() - t0
+        leaves.append((pub, proof))
+        leaf_stats.append(NodeStats("leaf", n_sigs, dt,
+                                    proof.proof_size_fe() * 4 / 1024,
+                                    md["cycles"]))
+
+    # --- merge levels (bottom-up) ----------------------------------------
+    level_nodes = leaves
+    level_stats = leaf_stats
+    level_bc = bc
+    inner_pub_len = len(leaves[0][0])
+    for fan in topology.fanouts[1:]:
+        next_nodes, next_stats = [], []
+        assert len(level_nodes) % fan == 0
+        log_memory, tlr, _ = _inner_shape(level_bc, level_nodes[0][0],
+                                          level_nodes[0][1], builder)
+        for i in range(0, len(level_nodes), fan):
+            children = level_nodes[i:i + fan]
+            t0 = time.perf_counter()
+            obc, opub, oproof, md = prove_aggregated(level_bc, children,
+                                                     builder, builder)
+            dt = time.perf_counter() - t0
+            if verify:
+                verify_recursive(level_bc, obc, opub, oproof, builder,
+                                 log_memory, tlr, inner_pub_len)
+            st = NodeStats("merge",
+                           sum(s.n_xmss for s in next_children_stats(
+                               level_stats, i, fan)), dt,
+                           oproof.proof_size_fe() * 4 / 1024, md["cycles"],
+                           children=level_stats[i:i + fan])
+            next_nodes.append((opub, oproof))
+            next_stats.append(st)
+        level_nodes, level_stats = next_nodes, next_stats
+        level_bc = obc
+        inner_pub_len = len(level_nodes[0][0])
+
+    total_s = time.perf_counter() - t_total
+    root = level_stats[0] if len(level_stats) == 1 else None
+    return {
+        "topology": topology.fanouts,
+        "total_signatures": topology.total_signatures(),
+        "total_s": round(total_s, 2),
+        "sigs_per_s": round(topology.total_signatures() / total_s, 4),
+        "root": root.as_dict() if root else [s.as_dict()
+                                            for s in level_stats],
+    }
+
+
+def next_children_stats(stats, i, fan):
+    return stats[i:i + fan]
+
+
+def render_tree(report: dict) -> str:
+    """Live-tree style rendering (benchmark.rs:491+ analog)."""
+    lines = [f"aggregation tree {report['topology']}: "
+             f"{report['total_signatures']} sigs in {report['total_s']}s "
+             f"({report['sigs_per_s']} sigs/s)"]
+
+    def walk(node, depth):
+        pad = "  " * depth
+        lines.append(f"{pad}{node['kind']}: {node['n_xmss']} sigs, "
+                     f"{node['prove_s']}s, {node['proof_kib']} KiB, "
+                     f"{node['cycles']} cycles")
+        for c in node.get("children", []):
+            walk(c, depth + 1)
+
+    root = report["root"]
+    if isinstance(root, list):
+        for r in root:
+            walk(r, 0)
+    else:
+        walk(root, 0)
+    return "\n".join(lines)

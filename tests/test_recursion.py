@@ -113,3 +113,17 @@ def test_two_level_xmss_aggregation():
     assert len(inner_pubs) == 2
     assert inner_pubs[0] == [int(x) for x in children[0][0]]
     assert inner_pubs[1] == [int(x) for x in children[1][0]]
+
+
+def test_aggregation_tree_benchmark():
+    """Tree runner: leaves + recursive merge with per-node stats
+    (benchmark.rs analog)."""
+    from test_e2e import _test_builder
+    from leanmultisig_tpu.aggregation.benchmark import (
+        AggregationTopology, render_tree, run_aggregation_benchmark)
+    rep = run_aggregation_benchmark(AggregationTopology([2, 2]),
+                                    _test_builder())
+    assert rep["total_signatures"] == 4
+    assert rep["root"]["kind"] == "merge"
+    assert len(rep["root"]["children"]) == 2
+    assert "leaf" in render_tree(rep)
