@@ -23,12 +23,36 @@ BENCHMARK_SLOT = 111  # signers_cache.rs:14
 
 
 def make_signers(n: int, slot: int = BENCHMARK_SLOT):
-    """n independent signers, each keyed for the single benchmark slot."""
+    """n independent signers, each keyed for the single benchmark slot.
+
+    Keygen (chain walks) is cached on disk per (index, slot) like the
+    reference's signers cache (signers_cache.rs:44-60); override the
+    location with SIGNERS_CACHE_DIR, disable with SIGNERS_CACHE_DIR=''."""
+    import os
+    import pickle
+    cache_dir = os.environ.get(
+        "SIGNERS_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", "..",
+                     ".signers_cache"))
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(cache_dir, f"signers_slot{slot}.pkl")
     out = []
-    for i in range(n):
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            out = pickle.load(f)
+    while len(out) < n:
+        i = len(out)
         sk, pk = xmss_key_gen(b"bench-signer-%d" % i, slot, slot)
         out.append((sk, pk))
-    return out
+    if cache and len(out) > 0:
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(out, f)
+        except OSError:
+            pass
+    return out[:n]
 
 
 def sign_all(signers, message: np.ndarray, slot: int = BENCHMARK_SLOT,

@@ -338,14 +338,20 @@ def lagrange_interpolation(xs: list[int], ys: np.ndarray) -> np.ndarray:
     return result
 
 
+_BITREV_CACHE: dict = {}
+
+
 def bit_reverse_permutation(data: np.ndarray) -> np.ndarray:
     """Reorder axis 0 by bit-reversed index (evals.rs:57-66)."""
     n = data.shape[0]
-    log_n = n.bit_length() - 1
-    idx = np.arange(n)
-    rev = np.zeros(n, np.int64)
-    for b in range(log_n):
-        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    rev = _BITREV_CACHE.get(n)
+    if rev is None:
+        log_n = n.bit_length() - 1
+        idx = np.arange(n)
+        rev = np.zeros(n, np.int64)
+        for b in range(log_n):
+            rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+        _BITREV_CACHE[n] = rev
     return data[rev]
 
 
