@@ -266,17 +266,18 @@ WHIR_LIB = '''
 def merkle_verify_leaf_digest(digest, root, index_bits, nodes, height: Const):
     """Walk a Merkle path in-circuit: digest (8 cells), hinted sibling
     nodes (height*8 cells), direction bits (height cells, constrained
-    boolean here), root (8 cells). Left/right order is a 2-way branch
-    per level (~6 rows) rather than 16 boolean-arithmetic writes."""
+    boolean here), root (8 cells). Left/right order is selected by
+    POINTER arithmetic (b boolean => left/right in {cur, node}), so each
+    level is 1 compress + ~5 scalar rows, no branches."""
     cur: Mut = digest
     for level in unroll(0, height):
         b = index_bits[level]
         assert b * b == b
+        node = nodes + level * 8
+        left = cur + b * (node - cur)
+        right = node + b * (cur - node)
         out = Array(8)
-        if b == 0:
-            poseidon16_compress(cur, nodes + level * 8, out)
-        else:
-            poseidon16_compress(nodes + level * 8, cur, out)
+        poseidon16_compress(left, right, out)
         cur = out
     for i in unroll(0, 8):
         assert cur[i] == root[i]
@@ -309,13 +310,17 @@ def decompose_index_bits(value, bits_out):
     """Constrain the 24+7 decomposition of a sampled base element; fill
     bits_out (24 cells) with LSB-first boolean bits (the same soundness
     argument as assert_low_bits_zero; challenger.rs:66-75 uses the low
-    bits as a query index, 'not perfectly uniform' by design)."""
+    bits as a query index, 'not perfectly uniform' by design).
+
+    The recomposition sum is ONE sized dot-product against the preamble
+    table POW2_EFS_PTR ([2^j, 0,0,0,0] for j in 0..24)."""
     hint_decompose_bits_merkle_whir(bits_out, value, 1)
-    partial: Mut = 0
     for i in unroll(0, 24):
         b = bits_out[i]
         assert b * b == b
-        partial = partial + b * (2 ** i)
+    s = Array(5)
+    dot_product_be(bits_out, POW2_EFS_PTR, s, 24)
+    partial = s[0]
     top7 = (partial - value) * 127
     assert top7 <= 126
     assert value == partial + top7 * 16777216

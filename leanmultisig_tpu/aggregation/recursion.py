@@ -670,7 +670,11 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
                   "    for _i in unroll(1, 5):",
                   "        pre[ONE_EF_PTR + _i] = 0",
                   "    for _i in unroll(0, ZERO_REGION):",
-                  "        pre[ZERO_EF_PTR + _i] = 0"]
+                  "        pre[ZERO_EF_PTR + _i] = 0",
+                  "    for _j in unroll(0, 24):",
+                  "        pre[POW2_EFS_PTR + _j * 5] = 2 ** _j",
+                  "        for _k in unroll(1, 5):",
+                  "            pre[POW2_EFS_PTR + _j * 5 + _k] = 0"]
     for i in range(n_proofs):
         main_lines.append(f"    verify_child({i * pub_len})")
     main_lines.append("    return")
@@ -687,13 +691,14 @@ ONE_EF_PTR = {pub_pot}
 ZERO_EF_PTR = {pub_pot + 5}
 ZERO_EFS_PTR = {pub_pot + 5}
 ZERO_REGION = {zero_region}
+POW2_EFS_PTR = {pub_pot + 5 + zero_region}
 
 def main():
 """ + "\n".join(main_lines) + """
 
 def verify_child(pub):
 """
-    return header + body + "\n", total_pub, 5 + zero_region
+    return header + body + "\n", total_pub, 5 + zero_region + 120
 
 
 class WStmt:
@@ -1016,6 +1021,10 @@ def generate_whir_standalone(config, statements_shapes: list,
     g.emit("pre[ONE_EF_PTR + _i] = 0") ; g.indent -= 1
     g.emit("for _i in unroll(0, ZERO_REGION):") ; g.indent += 1
     g.emit("pre[ZERO_EF_PTR + _i] = 0") ; g.indent -= 1
+    g.emit("for _j in unroll(0, 24):") ; g.indent += 1
+    g.emit("pre[POW2_EFS_PTR + _j * 5] = 2 ** _j")
+    g.emit("for _k in unroll(1, 5):") ; g.indent += 1
+    g.emit("pre[POW2_EFS_PTR + _j * 5 + _k] = 0") ; g.indent -= 2
 
     g.emit("t = Array(TLEN)")
     g.emit('hint_witness("raw_transcript", t)')
@@ -1060,7 +1069,8 @@ ONE_EF_PTR = {pub_pot}
 ZERO_EF_PTR = {pub_pot + 5}
 ZERO_EFS_PTR = {pub_pot + 5}
 ZERO_REGION = {zero_region}
+POW2_EFS_PTR = {pub_pot + 5 + zero_region}
 
 def main():
 """
-    return header + body + "\n", pub_len, 5 + zero_region
+    return header + body + "\n", pub_len, 5 + zero_region + 120
