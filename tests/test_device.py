@@ -159,3 +159,103 @@ def test_sharded_whir_commit_matches_host():
     tree = hmerkle.MerkleTree.from_first_layer(host_digests)
     assert np.array_equal(digests, host_digests)
     assert np.array_equal(root, tree.root())
+
+
+def test_device_air_constraint_eval_matches_host():
+    """jnp DAG evaluator (device AIR path) == host numpy folder, base
+    and extension column batches, all three tables."""
+    import jax
+    from leanmultisig_tpu.air.builder import eval_air_at
+    from leanmultisig_tpu.air.tables_air import (ExtraDataForBuses,
+                                                 TABLE_AIRS,
+                                                 max_air_constraints)
+    from leanmultisig_tpu.device.air import eval_constraints_monty
+    from leanmultisig_tpu.field import jnp_field as jf
+    from leanmultisig_tpu.field import np_field as nf
+    from leanmultisig_tpu.poly import np_poly as pp
+
+    rng = np.random.default_rng(11)
+    alpha = rng.integers(0, P, size=5, dtype=np.uint32)
+    apw = [pp.EONE.copy()]
+    for _ in range(max_air_constraints()):
+        apw.append(nf.emul(apw[-1], alpha))
+    apw = np.stack(apw)
+    extra = ExtraDataForBuses(
+        rng.integers(0, P, size=(16, 5), dtype=np.uint32),
+        rng.integers(0, P, size=5, dtype=np.uint32))
+
+    import jax.numpy as jnp
+    apw_m = jnp.asarray(jf.to_monty_np(apw))
+    ae_m = jnp.asarray(jf.to_monty_np(extra.logup_alphas_eq_poly))
+    bb_m = jnp.asarray(jf.to_monty_np(extra.bus_beta))
+
+    for table in ("execution", "extension_op"):
+        air = TABLE_AIRS[table]
+        n = 64
+        for shape in ((n,), (n, 5)):
+            flat = [rng.integers(0, P, size=shape, dtype=np.uint32)
+                    for _ in range(air.n_columns)]
+            shift = [rng.integers(0, P, size=shape, dtype=np.uint32)
+                    for _ in range(air.n_shift)]
+            ref = eval_air_at(lambda b: air.eval_fn(b, extra), flat, shift,
+                              apw, extra)
+            fn = jax.jit(lambda f, s: eval_constraints_monty(
+                table, f, s, apw_m, ae_m, bb_m))
+            got_m = fn([jnp.asarray(jf.to_monty_np(c)) for c in flat],
+                       [jnp.asarray(jf.to_monty_np(c)) for c in shift])
+            got = jf.from_monty_np(np.asarray(got_m))
+            assert np.array_equal(ref, got), (table, shape)
+
+
+def test_device_air_round_evals_matches_host():
+    """Fused device z-stacked round == host compute_bare_round_poly
+    internals (stack + eval + eq weight + reduce)."""
+    import jax.numpy as jnp
+    from leanmultisig_tpu.air.tables_air import (ExtraDataForBuses,
+                                                 TABLE_AIRS,
+                                                 max_air_constraints)
+    from leanmultisig_tpu.air.tables_air import eval_table_air
+    from leanmultisig_tpu.device.air import air_round_evals
+    from leanmultisig_tpu.field import jnp_field as jf
+    from leanmultisig_tpu.field import np_field as nf
+    from leanmultisig_tpu.poly import np_poly as pp
+
+    rng = np.random.default_rng(12)
+    table = "execution"
+    air = TABLE_AIRS[table]
+    n = 128
+    half = n // 2
+    alpha = rng.integers(0, P, size=5, dtype=np.uint32)
+    apw = [pp.EONE.copy()]
+    for _ in range(max_air_constraints()):
+        apw.append(nf.emul(apw[-1], alpha))
+    apw = np.stack(apw)
+    extra = ExtraDataForBuses(
+        rng.integers(0, P, size=(16, 5), dtype=np.uint32),
+        rng.integers(0, P, size=5, dtype=np.uint32))
+    cols = [rng.integers(0, P, size=n, dtype=np.uint32)
+            for _ in range(air.n_columns + air.n_shift)]
+    eq = rng.integers(0, P, size=(half, 5), dtype=np.uint32)
+    zs = np.array([0, 2, 3, 4, 5, 6], np.uint32)
+
+    # host reference: stack, eval, weight, reduce
+    stacked = []
+    for c in cols:
+        lo, hi = c[:half], c[half:]
+        d = nf.sub(hi, lo)
+        pts = nf.add(lo[None], nf.mul(d[None], zs[:, None]))
+        stacked.append(pts.reshape(-1))
+    acc = eval_table_air(table, stacked[:air.n_columns],
+                         stacked[air.n_columns:], apw, extra)
+    acc = acc.reshape(len(zs), half, 5)
+    ref = np.stack([nf.sum_mod(nf.emul(acc[i], eq), axis=0)
+                    for i in range(len(zs))])
+
+    got_m = air_round_evals(
+        table, [jnp.asarray(jf.to_monty_np(c)) for c in cols],
+        jnp.asarray(jf.to_monty_np(eq)),
+        jnp.asarray(jf.to_monty_np(apw)),
+        jnp.asarray(jf.to_monty_np(extra.logup_alphas_eq_poly)),
+        jnp.asarray(jf.to_monty_np(extra.bus_beta)), zs)
+    got = jf.from_monty_np(np.asarray(got_m))
+    assert np.array_equal(ref, got)
