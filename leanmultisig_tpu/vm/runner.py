@@ -58,6 +58,30 @@ def _op_str(op):
     return op
 
 
+def _guest_stack_trace(bytecode, pcs, fps, fail_pc) -> str:
+    """Function names on the live frame stack at the failing pc."""
+    spans = getattr(bytecode, "function_spans", None)
+    if not spans:
+        return f"pc {fail_pc}"
+    import bisect
+    starts = [p for p, _ in spans]
+    names = [n for _, n in spans]
+
+    def fn_at(p):
+        return names[max(bisect.bisect_right(starts, p) - 1, 0)]
+
+    stack = []
+    for p, f in zip(pcs, fps):
+        while stack and f < stack[-1][0]:
+            stack.pop()
+        if not stack or f > stack[-1][0]:
+            stack.append((f, fn_at(p)))
+        elif fn_at(p) != stack[-1][1]:
+            stack[-1] = (f, fn_at(p))
+    chain = " -> ".join(n for _, n in stack) or "main"
+    return f"{chain} (pc {fail_pc})"
+
+
 def _compute(operation: str, a: int, b: int) -> int:
     return (a + b) % P if operation == "add" else (a * b) % P
 
@@ -90,39 +114,45 @@ def execute_bytecode(bytecode: Bytecode, public_input, witness: ExecutionWitness
     pcs: list[int] = []
     fps: list[int] = []
 
-    while True:
-        if pc == bytecode.ending_pc:
-            break
-        if pc >= len(bytecode.code):
-            raise RunnerError("PC out of bounds")
-        pcs.append(pc)
-        fps.append(fp)
-        entry = bytecode.code[pc]
+    try:
+        while True:
+            if pc == bytecode.ending_pc:
+                break
+            if pc >= len(bytecode.code):
+                raise RunnerError("PC out of bounds")
+            pcs.append(pc)
+            fps.append(fp)
+            entry = bytecode.code[pc]
 
-        for hint in entry.hints:
-            execute_hint(hint, memory, fp, state)
+            for hint in entry.hints:
+                execute_hint(hint, memory, fp, state)
 
-        instr = entry.instruction
-        if isinstance(instr, Computation):
-            pc = _exec_computation(instr, memory, fp, pc)
-        elif isinstance(instr, Deref):
-            pc = _exec_deref(instr, memory, fp, pc)
-        elif isinstance(instr, Jump):
-            pc, fp = _exec_jump(instr, memory, fp, pc)
-        else:
-            assert isinstance(instr, Precompile)
-            a0 = read_operand(instr.arg_0, memory, fp)
-            a1 = read_operand(instr.arg_1, memory, fp)
-            res = read_operand(instr.res, memory, fp)
-            if a0 is None or a1 is None or res is None:
-                raise UndefinedMemory((pc, "precompile operand"))
-            if isinstance(instr.data, Poseidon16Args):
-                execute_poseidon16(a0, a1, res, instr.data, memory,
-                                   traces[POSEIDON16])
+            instr = entry.instruction
+            if isinstance(instr, Computation):
+                pc = _exec_computation(instr, memory, fp, pc)
+            elif isinstance(instr, Deref):
+                pc = _exec_deref(instr, memory, fp, pc)
+            elif isinstance(instr, Jump):
+                pc, fp = _exec_jump(instr, memory, fp, pc)
             else:
-                execute_extension_op(a0, a1, res, instr.data, memory,
-                                     traces[EXTENSION_OP])
-            pc += 1
+                assert isinstance(instr, Precompile)
+                a0 = read_operand(instr.arg_0, memory, fp)
+                a1 = read_operand(instr.arg_1, memory, fp)
+                res = read_operand(instr.res, memory, fp)
+                if a0 is None or a1 is None or res is None:
+                    raise UndefinedMemory((pc, "precompile operand"))
+                if isinstance(instr.data, Poseidon16Args):
+                    execute_poseidon16(a0, a1, res, instr.data, memory,
+                                       traces[POSEIDON16])
+                else:
+                    execute_extension_op(a0, a1, res, instr.data, memory,
+                                         traces[EXTENSION_OP])
+                pc += 1
+    except (RunnerError, UndefinedMemory) as e:
+        # pretty guest stack trace (runner.rs:42-54 analog)
+        trace = _guest_stack_trace(bytecode, pcs, fps, pc)
+        raise type(e)(f"{e.args[0] if e.args else e}\nguest stack "
+                      f"(most recent call last): {trace}") from None
 
     _resolve_deref_hints(memory, state.pending_deref_hints)
     for name, (entries, cursor) in state.named_hints.items():
