@@ -99,6 +99,9 @@ def get_fieldops_lib():
                                         ctypes.c_long, u32p]
         lib.base_add_inplace.argtypes = [u32p, u32p, ctypes.c_long]
         lib.base_rowscale.argtypes = [u32p, u32p, u32p, ctypes.c_long]
+        lib.reorder_repeat.argtypes = [u32p, ctypes.c_long, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_long,
+                                       ctypes.c_long, u32p]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

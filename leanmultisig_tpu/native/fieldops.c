@@ -288,3 +288,21 @@ void base_rowscale(const uint32_t *a, const uint32_t *s, uint32_t *out,
             out[5 * i + k] = (uint32_t)((a[5 * i + k] * sv) % P);
     }
 }
+
+/* RS-encode reorder (whir/src/utils.rs:128-150 semantics):
+ * mat[row, j] = evals[j * (n >> k) + (row >> r)] for j < dft_n_cols,
+ * row < (n << r) >> k; evals cells = 1 (base) or 5 (ext coeffs). */
+void reorder_repeat(const uint32_t *evals, long n, int k, int r,
+                    long dft_n_cols, long cells, uint32_t *out) {
+    long block_size = (n << r) >> k;
+    long stride = n >> k;
+    #pragma omp parallel for schedule(static) if (block_size > 1024)
+    for (long row = 0; row < block_size; row++) {
+        long src_row = row >> r;
+        uint32_t *o = out + row * dft_n_cols * cells;
+        for (long j = 0; j < dft_n_cols; j++) {
+            const uint32_t *s = evals + (j * stride + src_row) * cells;
+            for (long c = 0; c < cells; c++) o[j * cells + c] = s[c];
+        }
+    }
+}

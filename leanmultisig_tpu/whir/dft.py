@@ -103,6 +103,18 @@ def reorder_and_dft(evals: np.ndarray, folding_factor: int, log_inv_rate: int,
     n_blocks = 1 << k
     block_size = (n_evals << r) >> k
 
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    if lib is not None and hasattr(lib, "reorder_repeat"):
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        cells = int(np.prod(tail)) if tail else 1
+        ev = np.ascontiguousarray(evals, np.uint32)
+        mat = np.empty((block_size, dft_n_cols) + tail, np.uint32)
+        lib.reorder_repeat(ev.ctypes.data_as(u32p), n_evals, k, r,
+                           dft_n_cols, cells, mat.ctypes.data_as(u32p))
+        return dft_evals(mat, start_layer=r)
+
     # columns = top-k-bit blocks of the eval table, truncated to dft_n_cols
     cols = evals.reshape((n_blocks, n_evals >> k) + tail)[:dft_n_cols]
     mat = np.moveaxis(cols, 0, 1)  # (2^(n-k), dft_n_cols, ...)
