@@ -189,10 +189,10 @@ def test_device_air_constraint_eval_matches_host():
     ae_m = jnp.asarray(jf.to_monty_np(extra.logup_alphas_eq_poly))
     bb_m = jnp.asarray(jf.to_monty_np(extra.bus_beta))
 
-    for table in ("execution", "extension_op"):
+    # one base batch + one ext batch (XLA compiles dominate test time)
+    for table, shape in (("execution", (64,)), ("extension_op", (64, 5))):
         air = TABLE_AIRS[table]
-        n = 64
-        for shape in ((n,), (n, 5)):
+        if True:
             flat = [rng.integers(0, P, size=shape, dtype=np.uint32)
                     for _ in range(air.n_columns)]
             shift = [rng.integers(0, P, size=shape, dtype=np.uint32)
