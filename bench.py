@@ -73,7 +73,7 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
 
 
 def main() -> None:
-    n_sigs = int(os.environ.get("BENCH_N_SIGS", "32"))
+    n_sigs = int(os.environ.get("BENCH_N_SIGS", "64"))
     # Device path is opt-in for the bench until the jit compile cache is
     # persistent: over the tunneled TPU, first-run per-shape compiles and
     # the transfer warmup dominate a single timed proof. BENCH_DEVICE=1

@@ -87,13 +87,13 @@ def build_witness(message, pub_keys: list, signatures: list,
         public_input += [int(x) for x in pk.public_param]
     assert len(public_input) == pub_len
 
-    hints = {"wots_sig": [], "merkle_nodes": [], "encoding_high": []}
+    hints = {"wots_sig": [], "merkle_node": [], "encoding_high": []}
     for pk, sig in zip(pub_keys, signatures):
         hints["wots_sig"].append(
             [int(x) for x in sig.randomness]
             + [int(x) for x in sig.chain_tips.reshape(-1)])
-        hints["merkle_nodes"].append(
-            [int(x) for x in sig.merkle_proof.reshape(-1)])
+        for level_nodes in sig.merkle_proof:
+            hints["merkle_node"].append([int(x) for x in level_nodes])
         hints["encoding_high"].append(
             _encoding_high(message, pk, sig.randomness, slot))
 

@@ -45,13 +45,15 @@ def public_input_layout(n_sigs: int):
 
 def preamble_layout(pub_len_padded: int):
     """Preamble: [chain prefixes 336*4 | merkle prefixes 32*4 | zeros 8 |
-    wots-pk-iv prefix 4]."""
+    wots-pk-iv prefix 4 | pow8 EF table 8*5 | ones EF table V*5]."""
     base = pub_len_padded
     chain_base = base
     merkle_base = chain_base + N_CHAIN_TWEAKS * 4
     zeros_base = merkle_base + LOG_LIFETIME * 4
     pk_iv_base = zeros_base + 8
-    total = pk_iv_base + 4 - base
+    pow8_base = pk_iv_base + 4
+    ones_base = pow8_base + 8 * 5
+    total = ones_base + V * 5 - base
     return chain_base, merkle_base, zeros_base, pk_iv_base, total
 
 
@@ -60,6 +62,8 @@ def generate_guest(n_sigs: int, slot: int) -> str:
     pub_len_padded = 1 << max((pub_len - 1).bit_length(), 0)
     chain_base, merkle_base, zeros_base, pk_iv_base, _ = \
         preamble_layout(pub_len_padded)
+    pow8_base = pk_iv_base + 4
+    ones_base = pow8_base + 8 * 5
 
     chain_tweaks = [
         [int(x) for x in make_tweak(TWEAK_TYPE_CHAIN,
@@ -80,6 +84,8 @@ CHAIN_BASE = {chain_base}
 MERKLE_BASE = {merkle_base}
 ZEROS8 = {zeros_base}
 PK_IV = {pk_iv_base}
+POW8_EFS = {pow8_base}
+ONES_EFS = {ones_base}
 CHAIN_TWEAKS = {chain_tweaks!r}
 MERKLE_TWEAKS = {merkle_tweaks!r}
 ENC_TWEAK = {enc_tweak!r}
@@ -113,6 +119,14 @@ def write_preamble():
     pre[PK_IV + 1] = PK_TWEAK[1]
     pre[PK_IV + 2] = 0
     pre[PK_IV + 3] = 0
+    for j in unroll(0, 8):
+        pre[POW8_EFS + j * 5] = 8 ** j
+        for t in unroll(1, 5):
+            pre[POW8_EFS + j * 5 + t] = 0
+    for j in unroll(0, V):
+        pre[ONES_EFS + j * 5] = 1
+        for t in unroll(1, 5):
+            pre[ONES_EFS + j * 5 + t] = 0
     return
 
 def verify_sig(k):
@@ -149,17 +163,16 @@ def verify_sig(k):
     high = Array(8)
     hint_witness("encoding_high", high)
     for e in unroll(0, 8):
-        acc: Mut = 0
+        s5 = Array(5)
+        dot_product_be(limbs + e * 8, POW8_EFS, s5, 8)
         for j in unroll(0, 8):
-            acc = acc + limbs[e * 8 + j] * (8 ** j)
             assert limbs[e * 8 + j] <= 7
         assert high[e] <= 126
-        assert compressed[e] == acc + high[e] * 16777216
+        assert compressed[e] == s5[0] + high[e] * 16777216
 
-    total: Mut = 0
-    for c in unroll(0, V):
-        total = total + limbs[c]
-    assert total == TARGET_SUM
+    t5 = Array(5)
+    dot_product_be(limbs, ONES_EFS, t5, V)
+    assert t5[0] == TARGET_SUM
 
     # --- chain walks -> contiguous pk buffer ---
     pk_buf = Array(V * 4)
@@ -177,32 +190,40 @@ def verify_sig(k):
         poseidon16_compress(cur, pk_buf + i * 8, nxt)
         cur = nxt
 
-    # --- Merkle walk (constant directions) ---
-    nodes = Array(128)
-    hint_witness("merkle_nodes", nodes)
-    h: Mut = cur  # first 4 of the sponge state = leaf digest
-    for level in unroll(0, 32):
-        children = Array(8)
-        for i in unroll(0, 4):
-            children[i + DIR_BITS[level] * 4] = h[i]
-            children[i + (1 - DIR_BITS[level]) * 4] = nodes[level * 4 + i]
-        out = Array(4)
-        poseidon16_compress_half_hardcoded_left(
-            pp, children, out, MERKLE_BASE + level * 4)
-        h = out
+    # --- Merkle walk (constant directions; each hinted sibling lands
+    #     DIRECTLY in its children buffer, each level = one compress
+    #     writing into the next buffer's correct half) ---
+    ch0 = Array(8)
     for i in unroll(0, 4):
-        assert h[i] == root[i]
+        ch0[i + DIR_BITS[0] * 4] = cur[i]
+    hint_witness("merkle_node", ch0 + (1 - DIR_BITS[0]) * 4)
+    ch: Mut = ch0
+    for level in unroll(0, 31):
+        nxt = Array(8)
+        poseidon16_compress_half_hardcoded_left(
+            pp, ch, nxt + DIR_BITS[level + 1] * 4, MERKLE_BASE + level * 4)
+        hint_witness("merkle_node", nxt + (1 - DIR_BITS[level + 1]) * 4)
+        ch = nxt
+    out = Array(4)
+    poseidon16_compress_half_hardcoded_left(
+        pp, ch, out, MERKLE_BASE + 31 * 4)
+    for i in unroll(0, 4):
+        assert out[i] == root[i]
     return
 
 def chain_walk(tip, pp0, target, c: Const, s: Const):
-    cur: Mut = tip
-    for j in unroll(s, 7):
-        nxt = Array(4)
+    if s == 7:
+        for i in unroll(0, 4):
+            target[i] = tip[i]
+    else:
+        cur: Mut = tip
+        for j in unroll(s, 6):
+            nxt = Array(4)
+            poseidon16_compress_half_hardcoded_left(
+                cur, pp0, nxt, CHAIN_BASE + (c * 8 + j) * 4)
+            cur = nxt
         poseidon16_compress_half_hardcoded_left(
-            cur, pp0, nxt, CHAIN_BASE + (c * 8 + j) * 4)
-        cur = nxt
-    for i in unroll(0, 4):
-        target[i] = cur[i]
+            cur, pp0, target, CHAIN_BASE + (c * 8 + 6) * 4)
     return
 '''
     return src
