@@ -82,8 +82,12 @@ def combine_statement(statements: list[SparseStatement],
         inner_n = smt.inner_num_variables()
         if smt.is_next:
             inner_poly = pp.matrix_next_mle_folded(smt.point)
+        elif len(smt.values) > 1:
+            # ONE eq table per statement; per-value blocks are scalar
+            # multiples (the table is linear in its seed scalar)
+            inner_poly = pp.eval_eq(smt.point)
         else:
-            inner_poly = None  # eq table built per-value with the scalar baked in
+            inner_poly = None  # single value: seed the scalar directly
         from ..native import get_fieldops_lib
         _lib = get_fieldops_lib()
         for v in smt.values:
@@ -92,7 +96,8 @@ def combine_statement(statements: list[SparseStatement],
                 block = pp.eval_eq(smt.point, gamma_pow)
             else:
                 block = nf.emul(inner_poly,
-                                np.broadcast_to(gamma_pow, inner_poly.shape))
+                                np.broadcast_to(gamma_pow,
+                                                inner_poly.shape))
             if _lib is not None:
                 import ctypes
                 u32p = ctypes.POINTER(ctypes.c_uint32)
