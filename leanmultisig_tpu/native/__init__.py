@@ -102,6 +102,8 @@ def get_fieldops_lib():
         lib.reorder_repeat.argtypes = [u32p, ctypes.c_long, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_long,
                                        ctypes.c_long, u32p]
+        lib.product_round_coeffs.argtypes = [u32p, ctypes.c_int, u32p,
+                                             ctypes.c_long, u32p]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

@@ -306,3 +306,46 @@ void reorder_repeat(const uint32_t *evals, long n, int k, int r,
         }
     }
 }
+
+/* Product-sumcheck round coefficients (product_computation.rs):
+ * c0 = sum y0*x0, c2 = sum (y1-y0)(x1-x0) over the halves, fused in one
+ * pass. x: base (cells=1) or ext (cells=5); y: ext. out = [c0|c2]. */
+void product_round_coeffs(const uint32_t *x, int x_ext, const uint32_t *y,
+                          long half, uint32_t *out) {
+    uint32_t tot[10] = {0};
+    #pragma omp parallel if (half > 2048)
+    {
+        uint32_t local[10] = {0};
+        #pragma omp for schedule(static) nowait
+        for (long i = 0; i < half; i++) {
+            const uint32_t *y0 = y + 5 * i;
+            const uint32_t *y1 = y + 5 * (half + i);
+            uint32_t dy[5], t[5];
+            for (int k = 0; k < 5; k++) dy[k] = subm(y1[k], y0[k]);
+            if (x_ext) {
+                const uint32_t *x0 = x + 5 * i;
+                const uint32_t *x1 = x + 5 * (half + i);
+                uint32_t dx[5];
+                for (int k = 0; k < 5; k++) dx[k] = subm(x1[k], x0[k]);
+                ef5_mul(y0, x0, t);
+                for (int k = 0; k < 5; k++)
+                    local[k] = addm(local[k], t[k]);
+                ef5_mul(dy, dx, t);
+                for (int k = 0; k < 5; k++)
+                    local[5 + k] = addm(local[5 + k], t[k]);
+            } else {
+                uint64_t x0 = x[i];
+                uint64_t dx = subm(x[half + i], x[i]);
+                for (int k = 0; k < 5; k++) {
+                    local[k] = addm(local[k],
+                                    (uint32_t)((y0[k] * x0) % P));
+                    local[5 + k] = addm(local[5 + k],
+                                        (uint32_t)((dy[k] * dx) % P));
+                }
+            }
+        }
+        #pragma omp critical
+        for (int k = 0; k < 10; k++) tot[k] = addm(tot[k], local[k]);
+    }
+    for (int k = 0; k < 10; k++) out[k] = tot[k];
+}

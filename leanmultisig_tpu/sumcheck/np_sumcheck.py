@@ -98,6 +98,22 @@ def _product_round_coeffs(evals, weights, sum_):
     (sumcheck/src/product_computation.rs compute_product_sumcheck_polynomial):
     c0 = sum y0*x0, c2 = sum (y1-y0)(x1-x0), c1 = sum - 2c0 - c2."""
     half = evals.shape[0] // 2
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    if lib is not None and hasattr(lib, "product_round_coeffs"):
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        xc = np.ascontiguousarray(evals, np.uint32)
+        yc = np.ascontiguousarray(weights, np.uint32)
+        out = np.empty((2, 5), np.uint32)
+        lib.product_round_coeffs(xc.ctypes.data_as(u32p),
+                                 int(evals.ndim == 2),
+                                 yc.ctypes.data_as(u32p), half,
+                                 out.ctypes.data_as(u32p))
+        c0, c2 = out[0], out[1]
+        c1 = nf.esub(nf.esub(np.asarray(sum_, np.uint32),
+                             nf.eadd(c0, c0)), c2)
+        return np.stack([c0, c1, c2])
     x0, x1 = evals[:half], evals[half:]
     y0, y1 = weights[:half], weights[half:]
     if evals.ndim == 1:
