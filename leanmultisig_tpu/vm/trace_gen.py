@@ -46,58 +46,64 @@ def get_execution_trace(bytecode: Bytecode,
 
     from .isa import N_TEMPORARY_EXEC_COLUMNS, N_TOTAL_EXECUTION_COLUMNS
     n_cols = N_TOTAL_EXECUTION_COLUMNS + N_TEMPORARY_EXEC_COLUMNS
-    main = [[0] * n_cycles for _ in range(n_cols)]
     iml = bytecode.instructions_multilinear
     cols_pot = 16
 
-    for row, (pc, fp) in enumerate(zip(result.pcs, result.fps)):
-        fr = iml[pc * cols_pot:pc * cols_pot + N_INSTRUCTION_COLUMNS]
-        flag_a = int(fr[instr_idx(COL_FLAG_A)])
-        flag_b = int(fr[instr_idx(COL_FLAG_B)])
-        flag_c = int(fr[instr_idx(COL_FLAG_C)])
-        flag_c_fp = int(fr[instr_idx(COL_FLAG_C_FP)])
-        flag_ab_fp = int(fr[instr_idx(COL_FLAG_AB_FP)])
-        aux = int(fr[instr_idx(COL_AUX)])
-        is_deref = aux == 2
-        op_a = int(fr[instr_idx(COL_OPERAND_A)])
-        op_b = int(fr[instr_idx(COL_OPERAND_B)])
-        op_c = int(fr[instr_idx(COL_OPERAND_C)])
+    # vectorized row expansion (trace_gen.rs:27 rayon loop analog)
+    pcs = np.asarray(result.pcs, np.int64)
+    fps = np.asarray(result.fps, np.int64)
+    instr = iml.reshape(-1, cols_pot)[pcs].astype(np.int64)  # (n, 16)
 
-        addr_a = (fp + op_a) % P if (flag_a == 0 and flag_ab_fp == 0) else 0
-        value_a = mem_at(addr_a)
-        if flag_b == 0 and flag_ab_fp == 0:
-            addr_b = (fp + op_b) % P
-        elif is_deref:
-            addr_b = (value_a + op_b) % P
-        else:
-            addr_b = 0
-        value_b = mem_at(addr_b)
-        addr_c = (fp + op_c) % P if (flag_c == 0 and flag_c_fp == 0) else 0
-        value_c = mem_at(addr_c)
+    mem_np = np.array([v if v is not None else 0 for v in memory_cells],
+                      np.int64)
+    mem_len = len(mem_np)
 
-        for j in range(N_INSTRUCTION_COLUMNS):
-            main[j + N_RUNTIME_COLUMNS][row] = int(fr[j])
+    def gather(addr):
+        ok = addr < mem_len
+        return np.where(ok, mem_np[np.minimum(addr, mem_len - 1)], 0)
 
-        nu_a = (flag_a * op_a + (1 - flag_a - flag_ab_fp) * value_a
-                + flag_ab_fp * (fp + op_a)) % P
-        nu_b = (flag_b * op_b + (1 - flag_b - flag_ab_fp) * value_b
-                + flag_ab_fp * (fp + op_b)) % P
-        nu_c = (flag_c * op_c + (1 - flag_c - flag_c_fp) * value_c
-                + flag_c_fp * (fp + op_c)) % P
+    fa = instr[:, instr_idx(COL_FLAG_A)]
+    fb = instr[:, instr_idx(COL_FLAG_B)]
+    fc = instr[:, instr_idx(COL_FLAG_C)]
+    fcfp = instr[:, instr_idx(COL_FLAG_C_FP)]
+    fabfp = instr[:, instr_idx(COL_FLAG_AB_FP)]
+    aux = instr[:, instr_idx(COL_AUX)]
+    opa = instr[:, instr_idx(COL_OPERAND_A)]
+    opb = instr[:, instr_idx(COL_OPERAND_B)]
+    opc = instr[:, instr_idx(COL_OPERAND_C)]
 
-        if isinstance(bytecode.code[pc].instruction, Precompile):
-            main[COL_IS_PRECOMPILE][row] = 1
-        main[COL_EXEC_NU_A][row] = nu_a
-        main[COL_EXEC_NU_B][row] = nu_b
-        main[COL_EXEC_NU_C][row] = nu_c
-        main[COL_MEM_VALUE_A][row] = value_a
-        main[COL_MEM_VALUE_B][row] = value_b
-        main[COL_MEM_VALUE_C][row] = value_c
-        main[COL_PC][row] = pc
-        main[COL_FP][row] = fp
-        main[COL_MEM_ADDRESS_A][row] = addr_a
-        main[COL_MEM_ADDRESS_B][row] = addr_b
-        main[COL_MEM_ADDRESS_C][row] = addr_c
+    addr_a = np.where((fa == 0) & (fabfp == 0), (fps + opa) % P, 0)
+    value_a = gather(addr_a)
+    addr_b = np.where((fb == 0) & (fabfp == 0), (fps + opb) % P,
+                      np.where(aux == 2, (value_a + opb) % P, 0))
+    value_b = gather(addr_b)
+    addr_c = np.where((fc == 0) & (fcfp == 0), (fps + opc) % P, 0)
+    value_c = gather(addr_c)
+
+    nu_a = (fa * opa + (1 - fa - fabfp) * value_a + fabfp * (fps + opa)) % P
+    nu_b = (fb * opb + (1 - fb - fabfp) * value_b + fabfp * (fps + opb)) % P
+    nu_c = (fc * opc + (1 - fc - fcfp) * value_c + fcfp * (fps + opc)) % P
+
+    is_pre = np.zeros(len(bytecode.code), np.int64)
+    for i, e in enumerate(bytecode.code):
+        if isinstance(e.instruction, Precompile):
+            is_pre[i] = 1
+
+    main = [[0] * n_cycles for _ in range(n_cols)]
+    for j in range(N_INSTRUCTION_COLUMNS):
+        main[j + N_RUNTIME_COLUMNS] = instr[:, j].tolist()
+    main[COL_IS_PRECOMPILE] = is_pre[pcs].tolist()
+    main[COL_EXEC_NU_A] = nu_a.tolist()
+    main[COL_EXEC_NU_B] = nu_b.tolist()
+    main[COL_EXEC_NU_C] = nu_c.tolist()
+    main[COL_MEM_VALUE_A] = value_a.tolist()
+    main[COL_MEM_VALUE_B] = value_b.tolist()
+    main[COL_MEM_VALUE_C] = value_c.tolist()
+    main[COL_PC] = pcs.tolist()
+    main[COL_FP] = fps.tolist()
+    main[COL_MEM_ADDRESS_A] = addr_a.tolist()
+    main[COL_MEM_ADDRESS_B] = addr_b.tolist()
+    main[COL_MEM_ADDRESS_C] = addr_c.tolist()
 
     memory_padded = [v if v is not None else 0 for v in memory_cells]
     padding_zero_vec_ptr = len(memory_padded)
