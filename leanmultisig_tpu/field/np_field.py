@@ -26,7 +26,31 @@ def fa(x) -> np.ndarray:
     return (a.astype(np.int64) % P).astype(np.uint32)
 
 
+def _native_binop(name, a, b):
+    """Route equal-shape contiguous large arrays to the C kernels
+    (one fused pass instead of numpy temporaries)."""
+    if (isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
+            and a.dtype == np.uint32 and b.dtype == np.uint32
+            and a.shape == b.shape and a.size >= 8192):
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
+        if lib is not None and hasattr(lib, name):
+            import ctypes
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            ac = np.ascontiguousarray(a)
+            bc = np.ascontiguousarray(b)
+            out = np.empty_like(ac)
+            getattr(lib, name)(ac.ctypes.data_as(u32p),
+                               bc.ctypes.data_as(u32p),
+                               out.ctypes.data_as(u32p), ac.size)
+            return out
+    return None
+
+
 def add(a, b):
+    r = _native_binop("base_add_batch", a, b)
+    if r is not None:
+        return r
     # a, b < P < 2^31: the uint32 sum cannot wrap; branchless reduce
     # (avoids np.where evaluating an underflowing dead branch on scalars)
     s = np.asarray(a, np.uint32) + np.asarray(b, np.uint32)
@@ -34,6 +58,9 @@ def add(a, b):
 
 
 def sub(a, b):
+    r = _native_binop("base_sub_batch", a, b)
+    if r is not None:
+        return r
     a = np.asarray(a, np.uint32)
     b = np.asarray(b, np.uint32)
     return np.where(a >= b, a - b, (a + np.uint32(P)) - b)

@@ -349,3 +349,15 @@ void product_round_coeffs(const uint32_t *x, int x_ext, const uint32_t *y,
     }
     for (int k = 0; k < 10; k++) out[k] = tot[k];
 }
+
+void base_add_batch(const uint32_t *a, const uint32_t *b, uint32_t *out,
+                    long n) {
+    #pragma omp parallel for schedule(static) if (n > (1 << 16))
+    for (long i = 0; i < n; i++) out[i] = addm(a[i], b[i]);
+}
+
+void base_sub_batch(const uint32_t *a, const uint32_t *b, uint32_t *out,
+                    long n) {
+    #pragma omp parallel for schedule(static) if (n > (1 << 16))
+    for (long i = 0; i < n; i++) out[i] = subm(a[i], b[i]);
+}
