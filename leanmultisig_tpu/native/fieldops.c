@@ -99,49 +99,13 @@ void eval_eq(const uint32_t *point, long n, const uint32_t *scalar,
     out[3] = scalar[3];
     out[4] = scalar[4];
     long size = 1;
-    for (long v = 0; v < n; v++) {
+    long v = 0;
+    /* sequential in-place (back-to-front) for small levels */
+    while (v < n && (size < 4096 || ((n - v) % 2) == 1)) {
         const uint32_t *a = point + 5 * v;
-        if (size >= 4096) {
-            /* parallel expansion from a snapshot (in-place back-to-front
-             * is order-dependent, so copy the current table first) */
-            uint32_t *src_t = (uint32_t *)malloc(size * 5 * sizeof(uint32_t));
-            memcpy(src_t, out, size * 5 * sizeof(uint32_t));
-            #pragma omp parallel for schedule(static)
-            for (long i = 0; i < size; i++) {
-                const uint32_t *cur = src_t + 5 * i;
-                uint32_t hi[5];
-                uint64_t c[9];
-                for (int k = 0; k < 9; k++) {
-                    __uint128_t acc = 0;
-                    int s = k - 4 > 0 ? k - 4 : 0;
-                    int e = k < 4 ? k : 4;
-                    for (int i2 = s; i2 <= e; i2++)
-                        acc += (uint64_t)cur[i2] * a[k - i2];
-                    c[k] = (uint64_t)(acc % P);
-                }
-                for (int k = 3; k >= 0; k--) {
-                    uint64_t h = c[5 + k];
-                    c[k] = (c[k] + h) % P;
-                    c[k + 2] = (c[k + 2] + P - h) % P;
-                }
-                for (int k = 0; k < 5; k++) hi[k] = (uint32_t)c[k];
-                uint32_t *dst_lo = out + 5 * (2 * i);
-                uint32_t *dst_hi = out + 5 * (2 * i + 1);
-                for (int k = 0; k < 5; k++) {
-                    uint32_t lo = subm(cur[k], hi[k]);
-                    dst_lo[k] = lo;
-                    dst_hi[k] = hi[k];
-                }
-            }
-            free(src_t);
-            size *= 2;
-            continue;
-        }
-        /* expand in place from the back: out[0..size) -> out[0..2*size) */
         for (long i = size - 1; i >= 0; i--) {
             const uint32_t *cur = out + 5 * i;
             uint32_t hi[5];
-            /* hi = cur * a (quintic) */
             uint64_t c[9];
             for (int k = 0; k < 9; k++) {
                 __uint128_t acc = 0;
@@ -166,7 +130,51 @@ void eval_eq(const uint32_t *point, long n, const uint32_t *scalar,
             }
         }
         size *= 2;
+        v++;
     }
+    if (v == n) return;
+    /* remaining levels (even count): parallel ping-pong out->scratch->out,
+     * no per-level snapshot copies */
+    long final_size = size << (n - v);
+    uint32_t *scratch = (uint32_t *)malloc((final_size / 2) * 5
+                                           * sizeof(uint32_t));
+    uint32_t *src_t = out;
+    uint32_t *dst_t = scratch;
+    for (; v < n; v++) {
+        const uint32_t *a = point + 5 * v;
+        #pragma omp parallel for schedule(static)
+        for (long i = 0; i < size; i++) {
+            const uint32_t *cur = src_t + 5 * i;
+            uint32_t hi[5];
+            uint64_t c[9];
+            for (int k = 0; k < 9; k++) {
+                __uint128_t acc = 0;
+                int s = k - 4 > 0 ? k - 4 : 0;
+                int e = k < 4 ? k : 4;
+                for (int i2 = s; i2 <= e; i2++)
+                    acc += (uint64_t)cur[i2] * a[k - i2];
+                c[k] = (uint64_t)(acc % P);
+            }
+            for (int k = 3; k >= 0; k--) {
+                uint64_t h = c[5 + k];
+                c[k] = (c[k] + h) % P;
+                c[k + 2] = (c[k + 2] + P - h) % P;
+            }
+            for (int k = 0; k < 5; k++) hi[k] = (uint32_t)c[k];
+            uint32_t *dst_lo = dst_t + 5 * (2 * i);
+            uint32_t *dst_hi = dst_t + 5 * (2 * i + 1);
+            for (int k = 0; k < 5; k++) {
+                dst_lo[k] = subm(cur[k], hi[k]);
+                dst_hi[k] = hi[k];
+            }
+        }
+        size *= 2;
+        uint32_t *tmp = src_t;
+        src_t = dst_t;
+        dst_t = tmp;
+    }
+    /* even number of ping-pong levels => result back in out */
+    free(scratch);
 }
 
 /* elementwise base-field ops over equal-length arrays */
