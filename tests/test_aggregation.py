@@ -68,3 +68,24 @@ def test_aggregate_prove_verify(setup):
     bc, public_input, proof, metadata = aggregate(message, pub_keys, sigs,
                                                   _test_builder())
     verify_aggregate(bc, public_input, proof, _test_builder())
+
+
+def test_parse_type1_claim_roundtrip():
+    """type2.parse_type1_claim inverts driver.build_witness's public
+    input layout (build_type1_input_data analog)."""
+    import numpy as np
+    from leanmultisig_tpu.aggregation.driver import (build_witness,
+                                                     make_signers, sign_all)
+    from leanmultisig_tpu.aggregation.type2 import parse_type1_claim
+    from leanmultisig_tpu.field.constants import P
+
+    signers = make_signers(2)
+    rng = np.random.default_rng(7)
+    message = rng.integers(0, P, size=8, dtype=np.uint32)
+    sigs = sign_all(signers, message)
+    pub, _w = build_witness(message, [pk for _, pk in signers], sigs)
+    n, msg, pks = parse_type1_claim(pub)
+    assert n == 2 and np.array_equal(msg, message)
+    for (root, pp_), (_, pk) in zip(pks, signers):
+        assert np.array_equal(root, np.asarray(pk.merkle_root, np.uint32))
+        assert np.array_equal(pp_, np.asarray(pk.public_param, np.uint32))

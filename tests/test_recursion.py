@@ -127,3 +127,35 @@ def test_aggregation_tree_benchmark():
     assert rep["root"]["kind"] == "merge"
     assert len(rep["root"]["children"]) == 2
     assert "leaf" in render_tree(rep)
+
+
+def test_type2_merge_verify_split():
+    """type_2_aggregation.rs API surface: merge_many_type_1 bundles
+    independent components into one proof; verify_type_2 recovers each
+    claim; split_type_2 re-proves one component standalone."""
+    from test_e2e import _test_builder
+    from test_vm import build_program
+    from leanmultisig_tpu.aggregation.type2 import (Type1Proof,
+                                                    merge_many_type_1,
+                                                    split_type_2,
+                                                    verify_type_2)
+
+    builder = _test_builder()
+    bc = build_program()
+    components = []
+    for pub in ([5, 6, 7], [9, 10, 11]):
+        proof, md = prove_execution(bc, pub, ExecutionWitness(), builder)
+        components.append(Type1Proof(bc, pub, proof, md))
+
+    t2 = merge_many_type_1(components, builder, builder)
+    assert t2.metadata["n_children"] == 2
+    claims = verify_type_2(t2, builder)
+    assert claims == [[5, 6, 7], [9, 10, 11]]
+
+    # split component 1 out as a standalone recursive proof
+    solo = split_type_2(t2, 1, builder, builder)
+    assert verify_type_2(solo, builder) == [[9, 10, 11]]
+
+    # a tampered split index is rejected
+    with pytest.raises(IndexError):
+        split_type_2(t2, 5, builder, builder)
