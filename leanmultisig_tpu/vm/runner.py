@@ -161,6 +161,7 @@ def execute_bytecode(bytecode: Bytecode, public_input, witness: ExecutionWitness
     pcs.append(pc)
     fps.append(fp)
 
+    import resource
     metadata = {
         "cycles": len(pcs),
         "memory": len(memory.cells),
@@ -169,6 +170,10 @@ def execute_bytecode(bytecode: Bytecode, public_input, witness: ExecutionWitness
         "bytecode_size": len(bytecode.code),
         "public_input_size": len(public_input),
         "runtime_memory": state.ap - initial_ap,
+        "memory_usage_percent": round(
+            100.0 * len(memory.cells) / (1 << 26), 2),
+        # peak-RSS observability (system-info/src/lib.rs:5-12; KiB on linux)
+        "peak_rss_kib": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,
         "stdout": "\n".join(state.stdout),
     }
     return ExecutionResult(memory, public_memory_size, pcs, fps, traces,

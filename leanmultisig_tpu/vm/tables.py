@@ -77,6 +77,11 @@ N_COLS_TOTAL_EXT = 31
 EXECUTION, EXTENSION_OP, POSEIDON16 = "execution", "extension_op", "poseidon16"
 ALL_TABLES = [EXECUTION, EXTENSION_OP, POSEIDON16]  # table_enum order = index
 
+# Protocol bounds: max rows per table (core/constants.rs:4-39). Together
+# with MAX_LOG_MEMORY_SIZE these cap the logup numerator mass and the
+# stacked commitment surface (see tests/test_soundness_bounds.py).
+MAX_LOG_N_ROWS = {EXECUTION: 24, EXTENSION_OP: 21, POSEIDON16: 21}
+
 
 @dataclass
 class LookupIntoMemory:

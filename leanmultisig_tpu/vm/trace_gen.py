@@ -16,6 +16,7 @@ from .isa import (Bytecode, COL_AUX, COL_EXEC_NU_A, COL_EXEC_NU_B,
                   COL_OPERAND_A, COL_OPERAND_B, COL_OPERAND_C, COL_PC,
                   MIN_LOG_N_ROWS_PER_TABLE, N_INSTRUCTION_COLUMNS,
                   N_RUNTIME_COLUMNS, Precompile, instr_idx)
+from .memory import RunnerError
 from .poseidon_host import get_poseidon_16_of_zero
 from .runner import ExecutionResult
 from .tables import (ALL_TABLES, EXECUTION, EXTENSION_OP, HALF_DIGEST_LEN,
@@ -158,6 +159,12 @@ def _pad_table(table: str, trace: TableTrace, zero_vec_ptr: int,
         assert len(col) == h, (table, i)
     trace.non_padded_n_rows = h
     trace.log_n_rows = max(h.bit_length(), MIN_LOG_N_ROWS_PER_TABLE)
+    from .tables import MAX_LOG_N_ROWS
+    if trace.log_n_rows > MAX_LOG_N_ROWS[table]:
+        raise RunnerError(
+            f"{table} table overflow: 2^{trace.log_n_rows} rows exceeds "
+            f"the protocol bound 2^{MAX_LOG_N_ROWS[table]} "
+            f"(core/constants.rs:4-39)")
     n_rows = 1 << trace.log_n_rows
     pad = padding_row(table, zero_vec_ptr, null_hash_ptr, ending_pc)
     for i, col in enumerate(trace.columns):
