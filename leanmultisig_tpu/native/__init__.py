@@ -106,6 +106,8 @@ def get_fieldops_lib():
                                              ctypes.c_long, u32p]
         lib.base_add_batch.argtypes = [u32p, u32p, u32p, ctypes.c_long]
         lib.base_sub_batch.argtypes = [u32p, u32p, u32p, ctypes.c_long]
+        lib.eval_mle.argtypes = [u32p, ctypes.c_int, u32p, ctypes.c_long,
+                                 u32p]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

@@ -369,3 +369,54 @@ void base_sub_batch(const uint32_t *a, const uint32_t *b, uint32_t *out,
     #pragma omp parallel for schedule(static) if (n > (1 << 16))
     for (long i = 0; i < n; i++) out[i] = subm(a[i], b[i]);
 }
+
+/* Full MLE evaluation: MSB-first fold chain (np_poly.eval_mle semantics).
+ * m: (2^n,) base table (is_ext=0) or (2^n, 5) ext table (is_ext=1);
+ * point: (n, 5); out: (5,). One scratch allocation, folds in place. */
+void eval_mle(const uint32_t *m, int is_ext, const uint32_t *point, long n,
+              uint32_t *out) {
+    if (n == 0) {
+        for (int k = 0; k < 5; k++) out[k] = is_ext ? m[k] : (k ? 0 : m[0]);
+        return;
+    }
+    long half = 1L << (n - 1);
+    uint32_t *buf = (uint32_t *)malloc(half * 5 * sizeof(uint32_t));
+    long v = 0;
+    if (!is_ext) {
+        fold_base(m, point, buf, half);
+        v = 1;
+    } else {
+        /* first ext fold reads from m, writes into buf */
+        #pragma omp parallel for schedule(static) if (half > 4096)
+        for (long i = 0; i < half; i++) {
+            const uint32_t *lo = m + 5 * i;
+            const uint32_t *hi = m + 5 * (half + i);
+            uint32_t d[5];
+            for (int k = 0; k < 5; k++) d[k] = subm(hi[k], lo[k]);
+            uint64_t c[9];
+            for (int k = 0; k < 9; k++) {
+                __uint128_t acc = 0;
+                int s = k - 4 > 0 ? k - 4 : 0;
+                int e = k < 4 ? k : 4;
+                for (int i2 = s; i2 <= e; i2++)
+                    acc += (uint64_t)d[i2] * point[k - i2];
+                c[k] = (uint64_t)(acc % P);
+            }
+            for (int k = 3; k >= 0; k--) {
+                uint64_t h = c[5 + k];
+                c[k] = (c[k] + h) % P;
+                c[k + 2] = (c[k + 2] + P - h) % P;
+            }
+            uint32_t *o = buf + 5 * i;
+            for (int k = 0; k < 5; k++) o[k] = addm(lo[k], (uint32_t)c[k]);
+        }
+        v = 1;
+    }
+    while (v < n) {
+        half >>= 1;
+        fold_ext(buf, point + 5 * v, buf, half);
+        v++;
+    }
+    for (int k = 0; k < 5; k++) out[k] = buf[k];
+    free(buf);
+}

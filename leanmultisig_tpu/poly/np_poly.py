@@ -46,6 +46,20 @@ def eval_mle(evals: np.ndarray, point: np.ndarray) -> np.ndarray:
     point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
     n = len(point)
     assert evals.shape[0] == 1 << n
+    if n >= 10 and evals.dtype == np.uint32:
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
+        if lib is not None:
+            import ctypes
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            ev = np.ascontiguousarray(evals)
+            pc = np.ascontiguousarray(point)
+            out = np.empty(EXT_DEGREE, np.uint32)
+            lib.eval_mle(ev.ctypes.data_as(u32p),
+                         1 if evals.ndim == 2 else 0,
+                         pc.ctypes.data_as(u32p), n,
+                         out.ctypes.data_as(u32p))
+            return out
     cur = evals
     for k in range(n):
         half = cur.shape[0] // 2
