@@ -142,11 +142,19 @@ def sum_mod(x, axis=0):
 
 
 def mul_mat(rows: np.ndarray, mat: np.ndarray) -> np.ndarray:
-    """(N, k) x (m, k) matrix: out[n, i] = sum_j rows[n, j] * mat[i, j] mod P."""
+    """(N, k) x (m, k) matrix: out[n, i] = sum_j rows[n, j] * mat[i, j] mod P.
+
+    Split-radix matmul: mat = hi*2^16 + lo keeps every partial product
+    under 2^47, so k <= 16 products accumulate exactly in uint64 with a
+    single final reduction (no per-product modulo, no (N,m,k) temporary)."""
     rows64 = np.asarray(rows, np.uint64)
     mat64 = np.asarray(mat, np.uint64)
-    prod = (rows64[:, None, :] * mat64[None, :, :]) % PNP
-    return (prod.sum(axis=2, dtype=np.uint64) % PNP).astype(np.uint32)
+    assert mat64.shape[-1] <= 16
+    lo = (mat64 & 0xFFFF).T  # (k, m); products < 2^47, sums < 2^51
+    hi = (mat64 >> 16).T  # entries < 2^15; products < 2^46
+    out = (rows64 @ lo) % PNP
+    out += ((rows64 @ hi) % PNP) << 16
+    return (out % PNP).astype(np.uint32)
 
 
 def two_adic_generator(bits: int) -> int:

@@ -108,6 +108,8 @@ def get_fieldops_lib():
         lib.base_sub_batch.argtypes = [u32p, u32p, u32p, ctypes.c_long]
         lib.eval_mle.argtypes = [u32p, ctypes.c_int, u32p, ctypes.c_long,
                                  u32p]
+        lib.eq_outer_add.argtypes = [u32p, u32p, ctypes.c_long, u32p,
+                                     ctypes.c_long]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

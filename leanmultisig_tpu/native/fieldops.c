@@ -420,3 +420,37 @@ void eval_mle(const uint32_t *m, int is_ext, const uint32_t *point, long n,
     for (int k = 0; k < 5; k++) out[k] = buf[k];
     free(buf);
 }
+
+/* Fused tensor-product accumulate:
+ *   weights[(i << b) + j] += hi[i] * lo[j]   (quintic mul, ext += )
+ * hi: (2^a, 5) already scaled by the statement scalar; lo: (2^b, 5).
+ * One mul + one add per cell, no 2^n temporary (SplitEq analog,
+ * whir split_eq.rs semantics). */
+void eq_outer_add(uint32_t *weights, const uint32_t *hi, long na,
+                  const uint32_t *lo, long nb) {
+    #pragma omp parallel for schedule(static) if (na * nb > 8192)
+    for (long i = 0; i < na; i++) {
+        const uint32_t *h = hi + 5 * i;
+        uint32_t *dst = weights + 5 * i * nb;
+        for (long j = 0; j < nb; j++) {
+            const uint32_t *l = lo + 5 * j;
+            uint64_t c[9];
+            for (int k = 0; k < 9; k++) {
+                __uint128_t acc = 0;
+                int s = k - 4 > 0 ? k - 4 : 0;
+                int e = k < 4 ? k : 4;
+                for (int i2 = s; i2 <= e; i2++)
+                    acc += (uint64_t)h[i2] * l[k - i2];
+                c[k] = (uint64_t)(acc % P);
+            }
+            for (int k = 3; k >= 0; k--) {
+                uint64_t hh = c[5 + k];
+                c[k] = (c[k] + hh) % P;
+                c[k + 2] = (c[k + 2] + P - hh) % P;
+            }
+            uint32_t *o = dst + 5 * j;
+            for (int k = 0; k < 5; k++)
+                o[k] = addm(o[k], (uint32_t)c[k]);
+        }
+    }
+}

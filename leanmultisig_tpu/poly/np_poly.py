@@ -180,6 +180,33 @@ def eval_eq(point: np.ndarray, scalar: np.ndarray | None = None) -> np.ndarray:
     return out
 
 
+def add_scaled_eq(dst: np.ndarray, point: np.ndarray,
+                  scalar: np.ndarray) -> np.ndarray:
+    """dst += scalar * eq(., point) over the full (2^n, 5) table.
+
+    Splits the point into prefix/suffix halves and accumulates the
+    tensor product eq_hi x eq_lo directly into dst (one quintic mul +
+    add per cell, no 2^n temporary — the reference's SplitEq idea,
+    whir/src/whir/split_eq.rs). dst must be C-contiguous uint32."""
+    point = np.asarray(point, np.uint32).reshape(-1, EXT_DEGREE)
+    n = len(point)
+    assert dst.shape == (1 << n, EXT_DEGREE)
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    if lib is None or n < 4 or not dst.flags.c_contiguous:
+        block = eval_eq(point, scalar)
+        np.copyto(dst, nf.eadd(dst, block))
+        return dst
+    import ctypes
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    a = n // 2
+    hi = eval_eq(point[:a], scalar)  # (2^a, 5), carries the scalar
+    lo = eval_eq(point[a:])  # (2^(n-a), 5)
+    lib.eq_outer_add(dst.ctypes.data_as(u32p), hi.ctypes.data_as(u32p),
+                     len(hi), lo.ctypes.data_as(u32p), len(lo))
+    return dst
+
+
 def eq_poly_outside(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """eq(a, b) for two EF points (n,5) each (point.rs:77-91)."""
     a = np.asarray(a, np.uint32).reshape(-1, EXT_DEGREE)

@@ -91,8 +91,9 @@ class _SumcheckSingle:
         return self.evals
 
     def add_new_equality(self, points, evaluations, combination_randomness):
+        self.weights = np.ascontiguousarray(self.weights)
         for point, ev, rand in zip(points, evaluations, combination_randomness):
-            self.weights = nf.eadd(self.weights, pp.eval_eq(point, rand))
+            pp.add_scaled_eq(self.weights, point, rand)
             self.sum = nf.eadd(self.sum, nf.emul(rand, ev))
 
     def run_sumcheck_many_rounds(self, prover_state, n_rounds: int,

@@ -93,11 +93,15 @@ def combine_statement(statements: list[SparseStatement],
         for v in smt.values:
             lo = v.selector << inner_n
             if inner_poly is None:
-                block = pp.eval_eq(smt.point, gamma_pow)
-            else:
-                block = nf.emul(inner_poly,
-                                np.broadcast_to(gamma_pow,
-                                                inner_poly.shape))
+                # fused tensor-product accumulate, no 2^n temporary
+                pp.add_scaled_eq(weights[lo:lo + (1 << inner_n)],
+                                 smt.point, gamma_pow)
+                combined_sum = nf.eadd(combined_sum,
+                                       nf.emul(v.value, gamma_pow))
+                gamma_pow = nf.emul(gamma_pow, gamma)
+                continue
+            block = nf.emul(inner_poly,
+                            np.broadcast_to(gamma_pow, inner_poly.shape))
             if _lib is not None:
                 import ctypes
                 u32p = ctypes.POINTER(ctypes.c_uint32)
