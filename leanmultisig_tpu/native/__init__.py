@@ -110,6 +110,10 @@ def get_fieldops_lib():
                                  u32p]
         lib.eq_outer_add.argtypes = [u32p, u32p, ctypes.c_long, u32p,
                                      ctypes.c_long]
+        lib.gkr_layer_up.argtypes = [u32p, ctypes.c_int, u32p, u32p, u32p,
+                                     ctypes.c_long]
+        lib.gather_rows.argtypes = [u32p, ctypes.POINTER(ctypes.c_long),
+                                    ctypes.c_long, ctypes.c_long, u32p]
         _FLIB = lib
     except Exception:
         _FUNAVAILABLE = True

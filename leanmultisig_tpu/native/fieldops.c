@@ -454,3 +454,59 @@ void eq_outer_add(uint32_t *weights, const uint32_t *hi, long na,
         }
     }
 }
+
+/* One GKR quotient reduction layer (quotient_gkr/mod.rs semantics):
+ *   num_up[i] = n[2i]*d[2i+1] + n[2i+1]*d[2i],  den_up[i] = d[2i]*d[2i+1]
+ * nums: base (is_base=1, (2m,)) or ext ((2m,5)); dens: (2m, 5).
+ * Fused single pass over stride-2 pairs, contiguous ext outputs. */
+static inline void qmul(const uint32_t *x, const uint32_t *y, uint32_t *o) {
+    uint64_t c[9];
+    for (int k = 0; k < 9; k++) {
+        __uint128_t acc = 0;
+        int s = k - 4 > 0 ? k - 4 : 0;
+        int e = k < 4 ? k : 4;
+        for (int i2 = s; i2 <= e; i2++)
+            acc += (uint64_t)x[i2] * y[k - i2];
+        c[k] = (uint64_t)(acc % P);
+    }
+    for (int k = 3; k >= 0; k--) {
+        uint64_t h = c[5 + k];
+        c[k] = (c[k] + h) % P;
+        c[k + 2] = (c[k + 2] + P - h) % P;
+    }
+    for (int k = 0; k < 5; k++) o[k] = (uint32_t)c[k];
+}
+
+void gkr_layer_up(const uint32_t *nums, int is_base, const uint32_t *dens,
+                  uint32_t *num_up, uint32_t *den_up, long m) {
+    #pragma omp parallel for schedule(static) if (m > 2048)
+    for (long i = 0; i < m; i++) {
+        const uint32_t *dl = dens + 10 * i;
+        const uint32_t *dr = dl + 5;
+        uint32_t a[5], b[5];
+        if (is_base) {
+            uint32_t nl = nums[2 * i], nr = nums[2 * i + 1];
+            for (int k = 0; k < 5; k++) {
+                a[k] = mulm(nl, dr[k]);
+                b[k] = mulm(nr, dl[k]);
+            }
+        } else {
+            qmul(nums + 10 * i, dr, a);
+            qmul(nums + 10 * i + 5, dl, b);
+        }
+        uint32_t *no = num_up + 5 * i;
+        for (int k = 0; k < 5; k++) no[k] = addm(a[k], b[k]);
+        qmul(dl, dr, den_up + 5 * i);
+    }
+}
+
+/* Parallel row gather: out[i] = data[idx[i]] over rows of `w` uint32s. */
+void gather_rows(const uint32_t *data, const long *idx, long n, long w,
+                 uint32_t *out) {
+    #pragma omp parallel for schedule(static) if (n * w > (1 << 16))
+    for (long i = 0; i < n; i++) {
+        const uint32_t *src = data + idx[i] * w;
+        uint32_t *dst = out + i * w;
+        for (long k = 0; k < w; k++) dst[k] = src[k];
+    }
+}

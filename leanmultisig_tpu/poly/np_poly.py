@@ -393,6 +393,19 @@ def bit_reverse_permutation(data: np.ndarray) -> np.ndarray:
         for b in range(log_n):
             rev |= ((idx >> b) & 1) << (log_n - 1 - b)
         _BITREV_CACHE[n] = rev
+    if data.dtype == np.uint32 and data.flags.c_contiguous:
+        from ..native import get_fieldops_lib
+        lib = get_fieldops_lib()
+        if lib is not None:
+            import ctypes
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            i64p = ctypes.POINTER(ctypes.c_long)
+            w = int(np.prod(data.shape[1:], dtype=np.int64))
+            out = np.empty_like(data)
+            lib.gather_rows(data.ctypes.data_as(u32p),
+                            rev.ctypes.data_as(i64p), n, w,
+                            out.ctypes.data_as(u32p))
+            return out
     return data[rev]
 
 

@@ -69,6 +69,22 @@ def _bit_rev(a: np.ndarray) -> np.ndarray:
 
 def _layer_up(nums: np.ndarray, dens: np.ndarray):
     """One GKR reduction: arrays of 2^{k+1} -> 2^k via even/odd split."""
+    from ..native import get_fieldops_lib
+    lib = get_fieldops_lib()
+    m = nums.shape[0] // 2
+    if lib is not None:
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        nc = np.ascontiguousarray(nums, np.uint32)
+        dc = np.ascontiguousarray(dens, np.uint32)
+        num_up = np.empty((m, 5), np.uint32)
+        den_up = np.empty((m, 5), np.uint32)
+        lib.gkr_layer_up(nc.ctypes.data_as(u32p),
+                         1 if nums.ndim == 1 else 0,
+                         dc.ctypes.data_as(u32p),
+                         num_up.ctypes.data_as(u32p),
+                         den_up.ctypes.data_as(u32p), m)
+        return num_up, den_up
     nl, nr = nums[0::2], nums[1::2]
     dl, dr = dens[0::2], dens[1::2]
     if nl.ndim == 1:
