@@ -52,6 +52,39 @@ def _inner_shape(inner_bc, inner_public_input, proof, builder):
     return log_memory, table_log_n_rows, bc_hash_ds
 
 
+def outer_guest_for_shape(inner_bc, log_memory: int, table_log_n_rows: dict,
+                          inner_public_len: int, tlen: int, n_children: int,
+                          inner_builder):
+    """Compile (cached) THE outer verifier guest for a given inner proof
+    shape. This is the recursion trust root: a verifier regenerates the
+    guest from shape parameters + the TRUSTED inner bytecode, so an
+    adversarial prover cannot substitute its own outer program
+    (get_aggregation_bytecode analog, type_2_aggregation.rs:165-176)."""
+    from ..protocols.stacked_pcs import compute_stacked_n_vars
+    bc_hash_ds = poseidon16_compress_pair(inner_bc.hash, SNARK_DOMAIN_SEP)
+    stacked_n_vars = compute_stacked_n_vars(log_memory, inner_bc.log_size(),
+                                            table_log_n_rows)
+    ood = WhirConfig(inner_builder, stacked_n_vars).commitment_ood_samples
+    key = (log_memory, tuple(sorted(table_log_n_rows.items())), ood,
+           inner_public_len, tuple(int(x) for x in bc_hash_ds),
+           inner_builder.starting_log_inv_rate, tlen, n_children)
+    if key not in _GUEST_CACHE:
+        src, pub_len, preamble_len = generate_logup_verifier(
+            log_memory=log_memory,
+            log_bytecode=inner_bc.log_size(),
+            table_log_heights=table_log_n_rows,
+            commitment_ood_samples=ood,
+            inner_public_len=inner_public_len,
+            bytecode_hash_domsep=[int(x) for x in bc_hash_ds],
+            starting_log_inv_rate=inner_builder.starting_log_inv_rate,
+            tlen=tlen, air_section=True,
+            whir_config_builder=inner_builder,
+            ending_pc=inner_bc.ending_pc, n_proofs=n_children)
+        _GUEST_CACHE[key] = (compile_program(
+            src, import_resolver=resolve_guest_lib), pub_len, preamble_len)
+    return _GUEST_CACHE[key]
+
+
 def prove_recursively(inner_bc, inner_public_input, inner_proof,
                       inner_builder, outer_builder):
     """Single-child wrapper over prove_aggregated."""
@@ -97,26 +130,9 @@ def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
         per_child.append((inner_public_input, logup, alphas, raw))
 
     raw0 = per_child[0][3]
-    ood = WhirConfig(inner_builder, stacked_n_vars).commitment_ood_samples
-    key = (log_memory, tuple(sorted(table_log_n_rows.items())), ood,
-           len(pub0), tuple(int(x) for x in bc_hash_ds),
-           inner_builder.starting_log_inv_rate, int(raw0.transcript.size),
-           len(children))
-    if key not in _GUEST_CACHE:
-        src, pub_len, preamble_len = generate_logup_verifier(
-            log_memory=log_memory,
-            log_bytecode=inner_bc.log_size(),
-            table_log_heights=table_log_n_rows,
-            commitment_ood_samples=ood,
-            inner_public_len=len(pub0),
-            bytecode_hash_domsep=[int(x) for x in bc_hash_ds],
-            starting_log_inv_rate=inner_builder.starting_log_inv_rate,
-            tlen=int(raw0.transcript.size), air_section=True,
-            whir_config_builder=inner_builder,
-            ending_pc=inner_bc.ending_pc, n_proofs=len(children))
-        _GUEST_CACHE[key] = (compile_program(
-            src, import_resolver=resolve_guest_lib), pub_len, preamble_len)
-    guest_bc, pub_len, preamble_len = _GUEST_CACHE[key]
+    guest_bc, pub_len, preamble_len = outer_guest_for_shape(
+        inner_bc, log_memory, table_log_n_rows, len(pub0),
+        int(raw0.transcript.size), len(children), inner_builder)
 
     outer_pub = []
     hints = {"raw_transcript": [], "inner_public_input": [],
@@ -153,6 +169,7 @@ def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
                                             outer_builder)
     metadata["bc_points"] = bc_points
     metadata["n_children"] = len(children)
+    metadata["inner_transcript_len"] = int(raw0.transcript.size)
     return guest_bc, outer_pub, outer_proof, metadata
 
 

@@ -24,8 +24,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..fs.verifier import ProofError
-from .recursion_driver import (_inner_shape, prove_aggregated,
-                               verify_recursive)
+from .recursion_driver import (_inner_shape, outer_guest_for_shape,
+                               prove_aggregated, verify_recursive)
 
 
 @dataclass
@@ -49,6 +49,8 @@ class Type2Proof:
     log_memory: int
     table_log_n_rows: dict
     inner_public_len: int
+    inner_transcript_len: int = 0
+    n_children: int = 1
     # retained children enabling split_type_2 (kept_type1_buff analog,
     # type_2_aggregation.rs:194-258)
     components: list = field(default_factory=list)
@@ -87,16 +89,29 @@ def merge_many_type_1(type1s: list, inner_builder,
         bc0, children, inner_builder, outer_builder)
     return Type2Proof(outer_bc, outer_pub, outer_proof, bc0,
                       log_memory, table_log_n_rows,
-                      len(children[0][0]), components=list(type1s),
+                      len(children[0][0]),
+                      inner_transcript_len=md["inner_transcript_len"],
+                      n_children=len(children), components=list(type1s),
                       metadata=md)
 
 
-def verify_type_2(t2: Type2Proof, outer_builder) -> list:
+def verify_type_2(t2: Type2Proof, inner_bytecode, inner_builder,
+                  outer_builder) -> list:
     """Verify the outer proof + the host-side bytecode-claim reduction,
     and return each component's type-1 public input (its claim)
-    (type_2_aggregation.rs:165-176)."""
+    (type_2_aggregation.rs:165-176).
+
+    Trust root: `inner_bytecode` is a TRUSTED caller argument (the known
+    type-1 guest, get_aggregation_bytecode analog) — never read from the
+    proof artifact — and the outer guest bytecode is REGENERATED from the
+    declared shape, so an adversarial prover cannot substitute a trivial
+    outer program."""
+    expected_bc, _pub_len, _pre = outer_guest_for_shape(
+        inner_bytecode, t2.log_memory, t2.table_log_n_rows,
+        t2.inner_public_len, t2.inner_transcript_len, t2.n_children,
+        inner_builder)
     inner_pubs = verify_recursive(
-        t2.inner_bytecode, t2.outer_bytecode, t2.outer_public_input,
+        inner_bytecode, expected_bc, t2.outer_public_input,
         t2.outer_proof, outer_builder, t2.log_memory, t2.table_log_n_rows,
         t2.inner_public_len)
     if t2.inner_public_len and not isinstance(inner_pubs[0], list):

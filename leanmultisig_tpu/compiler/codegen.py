@@ -271,9 +271,12 @@ class Codegen:
                     label_pc[item] = len(code)
                 else:
                     code.append(item)
-        label_pc["__end__"] = len(code)
-        ending_pc = len(code)
-        code.append(CodeEntry(Jump(Constant(1), Constant(ending_pc), FpRel(0))))
+        # pad with panics to >= 2^MIN_BYTECODE_LOG_SIZE instructions, ending
+        # self-loop at the last slot (c_compile_final.rs:102-109)
+        from ..vm.isa import pad_with_panics, padded_bytecode_size
+        ending_pc = padded_bytecode_size(len(code)) - 1
+        label_pc["__end__"] = ending_pc
+        pad_with_panics(code, ending_pc)
 
         frame_sizes = {inst.label: inst.frame_size for inst in self.order}
 

@@ -39,8 +39,14 @@ class RawProof:
 
 class VerifierState:
     def __init__(self, proof: Proof):
+        from ..field.constants import P
         self.challenger = Challenger()
         self.transcript = np.asarray(proof.transcript, np.uint32)
+        # Reject non-canonical encodings (value >= P): the reference rejects
+        # them at deserialization; accepting value+P would make every proof
+        # malleable (distinct byte encodings of one accepted transcript).
+        if self.transcript.size and int(self.transcript.max()) >= P:
+            raise ProofError("non-canonical transcript scalar")
         self.offset = 0
         self.merkle_openings: list[MerkleOpening] = []
         for pruned in proof.merkle_paths:
@@ -48,6 +54,10 @@ class VerifierState:
             if paths is None:
                 raise ProofError("invalid pruned merkle paths")
             for p in paths:
+                if ((p.leaf_data.size and int(p.leaf_data.max()) >= P)
+                        or (p.sibling_hashes.size
+                            and int(p.sibling_hashes.max()) >= P)):
+                    raise ProofError("non-canonical merkle path scalar")
                 self.merkle_openings.append(
                     MerkleOpening(p.leaf_data, p.sibling_hashes))
         self.merkle_opening_index = 0

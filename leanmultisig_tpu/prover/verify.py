@@ -46,6 +46,12 @@ def verify_execution(bytecode, public_input, proof, whir_config_builder):
     for t, log_n in table_log_n_rows.items():
         if log_n < MIN_LOG_N_ROWS_PER_TABLE:
             raise ProofError("table too small")
+        # Protocol max heights (verify_execution.rs:38-48): the prover's
+        # _pad_table bound alone is bypassable by an adversarial prover.
+        if log_n > T.MAX_LOG_N_ROWS[t]:
+            raise ProofError("table too large")
+    if bytecode.log_size() < MIN_BYTECODE_LOG_SIZE:
+        raise ProofError("bytecode too small")
     if log_memory < max(max(table_log_n_rows.values()), bytecode.log_size()):
         raise ProofError("memory too small")
     if not (MIN_LOG_MEMORY_SIZE <= log_memory <= MAX_LOG_MEMORY_SIZE):

@@ -275,6 +275,30 @@ class Bytecode:
         return max((self.size() - 1).bit_length(), 0) if self.size() > 1 else 0
 
 
+def panic_instruction():
+    """0 * fp == 1 is unsatisfiable -> reaching this pc fails the proof
+    (c_compile_final.rs:269-276)."""
+    return Computation("mul", Constant(0), FpRel(0), Constant(1))
+
+
+def padded_bytecode_size(n_real: int) -> int:
+    """Instruction count including the ending self-loop slot: padded to at
+    least 2^MIN_BYTECODE_LOG_SIZE and a power of two
+    (c_compile_final.rs:102-105). `n_real` excludes the ending self-loop."""
+    n = max(n_real + 1, 1 << MIN_BYTECODE_LOG_SIZE)
+    return 1 << (n - 1).bit_length()
+
+
+def pad_with_panics(code: list, ending_pc: int) -> None:
+    """Fill pcs len(code)..ending_pc-1 with panic instructions, then place
+    the ending self-loop at `ending_pc` (c_compile_final.rs:106-109)."""
+    assert len(code) <= ending_pc
+    while len(code) < ending_pc:
+        code.append(CodeEntry(panic_instruction(), ()))
+    code.append(CodeEntry(Jump(Constant(1), Constant(ending_pc), FpRel(0)),
+                          ()))
+
+
 def build_instructions_multilinear(instructions) -> np.ndarray:
     """Each instruction padded to 16 field columns; total padded to a power
     of two (c_compile_final.rs:133-139)."""

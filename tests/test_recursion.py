@@ -2,10 +2,9 @@
 outer proof of its complete in-circuit verification, then verified
 (outer proof + host-side bytecode-claim reduction).
 
-The full roundtrip proves a ~700k-cycle guest (~10 min on CPU), so it is
-gated behind LMS_SLOW_TESTS=1; the guest EXECUTION of the same verifier
-(the correctness-critical part) runs in the regular suite via
-test_guest_logup/test_guest_whir.
+The single-child roundtrip (~40 s warm) runs in the DEFAULT suite — it is
+the flagship path. The multi-child / type-2 / tree variants stay behind
+LMS_SLOW_TESTS=1 (several minutes each).
 """
 
 import os
@@ -17,9 +16,9 @@ from leanmultisig_tpu.fs.verifier import ProofError
 from leanmultisig_tpu.prover.prove import prove_execution
 from leanmultisig_tpu.vm import ExecutionWitness
 
-pytestmark = pytest.mark.skipif(
+slow = pytest.mark.skipif(
     not os.environ.get("LMS_SLOW_TESTS"),
-    reason="full recursive prove ~10 min; set LMS_SLOW_TESTS=1")
+    reason="multi-child recursive prove is slow; set LMS_SLOW_TESTS=1")
 
 
 def test_recursive_roundtrip():
@@ -54,6 +53,7 @@ def test_recursive_roundtrip():
                          log_memory, tlr, len(pub))
 
 
+@slow
 def test_two_child_aggregation_roundtrip():
     """Type-1 structure: ONE outer proof attesting to TWO inner proofs
     (shared guest function, per-child hint streams + claims)."""
@@ -79,6 +79,7 @@ def test_two_child_aggregation_roundtrip():
     assert inner_pubs == [[5, 6, 7], [9, 10, 11]]
 
 
+@slow
 def test_two_level_xmss_aggregation():
     """The reference's aggregation story: XMSS signature-aggregation
     proofs (different messages - the type-2 shape) wrapped in ONE
@@ -115,6 +116,7 @@ def test_two_level_xmss_aggregation():
     assert inner_pubs[1] == [int(x) for x in children[1][0]]
 
 
+@slow
 def test_aggregation_tree_benchmark():
     """Tree runner: leaves + recursive merge with per-node stats
     (benchmark.rs analog)."""
@@ -129,6 +131,7 @@ def test_aggregation_tree_benchmark():
     assert "leaf" in render_tree(rep)
 
 
+@slow
 def test_type2_merge_verify_split():
     """type_2_aggregation.rs API surface: merge_many_type_1 bundles
     independent components into one proof; verify_type_2 recovers each
@@ -149,12 +152,24 @@ def test_type2_merge_verify_split():
 
     t2 = merge_many_type_1(components, builder, builder)
     assert t2.metadata["n_children"] == 2
-    claims = verify_type_2(t2, builder)
+    claims = verify_type_2(t2, bc, builder, builder)
     assert claims == [[5, 6, 7], [9, 10, 11]]
+
+    # the outer bytecode is regenerated from the trusted inner bytecode:
+    # substituting a different inner guest must fail (ADVICE r1: no trust
+    # root meant forgeable component claims)
+    from leanmultisig_tpu.vm import Bytecode, CodeEntry, Computation, Constant
+    tampered = Bytecode(
+        bc.code[:-1] + [CodeEntry(
+            Computation("add", Constant(1), Constant(0), Constant(1)), ())],
+        starting_frame_memory=bc.starting_frame_memory,
+        ending_pc=bc.ending_pc)
+    with pytest.raises(Exception):
+        verify_type_2(t2, tampered, builder, builder)
 
     # split component 1 out as a standalone recursive proof
     solo = split_type_2(t2, 1, builder, builder)
-    assert verify_type_2(solo, builder) == [[9, 10, 11]]
+    assert verify_type_2(solo, bc, builder, builder) == [[9, 10, 11]]
 
     # a tampered split index is rejected
     with pytest.raises(IndexError):

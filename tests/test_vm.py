@@ -61,9 +61,10 @@ def build_program():
     # main-return convention (b_compile_intermediate.rs:568-583):
     # fp := 0 on the jump to ending_pc so padding rows chain cleanly
     instr(Computation("add", Constant(0), Constant(0), MemAfterFp(9)))
-    ending_pc = len(code) + 1
+    from leanmultisig_tpu.vm.isa import pad_with_panics, padded_bytecode_size
+    ending_pc = padded_bytecode_size(len(code) + 1) - 1
     instr(Jump(Constant(1), Constant(ending_pc), MemAfterFp(9)))
-    instr(Jump(Constant(1), Constant(ending_pc), FpRel(0)))  # self-loop
+    pad_with_panics(code, ending_pc)
 
     return Bytecode(code, starting_frame_memory=16, ending_pc=ending_pc)
 
