@@ -1,0 +1,449 @@
+"""Device-resident WHIR PCS prover (commit + open).
+
+Mirrors whir/prover.py (reference crates/whir/src/commit.rs:64-99,
+open.rs:36-248) with every bulk object — the polynomial, combined weight
+MLE, RS-encoded leaf matrices, Merkle digest layers — resident on device
+in Montgomery form. STIR query indices are sampled, masked, and used for
+opening gathers entirely on device; opened leaves/paths are stashed as
+canonical device arrays for the single end-of-proof fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field.constants import P
+from ..whir.config import WhirConfig
+from . import dpoly
+from .ddft import reorder_and_dft_dev
+from .dmerkle import DevMerkleTree
+from .dsumcheck import sumcheck_prove_dev
+
+EXT = 5
+
+
+def _jax():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+@dataclass
+class DStatementValue:
+    selector: int
+    value: object  # (5,) monty device
+
+
+@dataclass
+class DStatement:
+    """Device mirror of whir.statement.SparseStatement."""
+    total_num_variables: int
+    point: object  # (m, 5) monty device
+    values: list
+    is_next: bool = False
+
+    def inner_num_variables(self) -> int:
+        return int(self.point.shape[0])
+
+    def selector_num_variables(self) -> int:
+        return self.total_num_variables - self.inner_num_variables()
+
+
+@dataclass
+class DWitness:
+    tree: DevMerkleTree
+    ood_points: object  # (s, 5) monty device
+    ood_answers: object  # (s, 5) monty device
+
+
+def sample_ood_points_dev(prover_state, num_samples: int, num_variables: int,
+                          poly):
+    _, jnp = _jax()
+    if num_samples == 0:
+        z = jnp.zeros((0, EXT), jnp.uint32)
+        return z, z
+    ood_points = prover_state.sample_vec(num_samples)
+    answers = []
+    for i in range(num_samples):
+        pt = dpoly.dexpand_from_univariate(ood_points[i], num_variables)
+        answers.append(dpoly.deval_mle(poly, pt))
+    ood_answers = jnp.stack(answers)
+    prover_state.add_extension_scalars(ood_answers)
+    return ood_points, ood_answers
+
+
+def commit_dev(config: WhirConfig, prover_state, polynomial,
+               actual_data_len: int | None = None) -> DWitness:
+    """(commit.rs:64-99). polynomial: (2^n,) base monty device."""
+    n_blocks = 1 << config.folding_factor.at_round(0)
+    evals_len = 1 << config.num_variables
+    assert polynomial.shape[0] == evals_len
+    if actual_data_len is None:
+        actual_data_len = evals_len
+    effective_n_cols = -(-actual_data_len // (evals_len // n_blocks))
+
+    matrix = reorder_and_dft_dev(polynomial,
+                                 config.folding_factor.at_round(0),
+                                 config.starting_log_inv_rate,
+                                 effective_n_cols)
+    dim = EXT if polynomial.ndim == 2 else 1
+    tree = DevMerkleTree(matrix, full_base_width=n_blocks * dim)
+    prover_state.add_monty_scalars(tree.root_monty())
+
+    ood_points, ood_answers = sample_ood_points_dev(
+        prover_state, config.commitment_ood_samples, config.num_variables,
+        polynomial)
+    return DWitness(tree, ood_points, ood_answers)
+
+
+# --- combined weight MLE ----------------------------------------------------
+
+
+@functools.cache
+def _accum_block_fn(total: int, block: int):
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def accum(weights, block_vals, lo):
+        lo = lo.astype(jnp.int32)
+        seg = jax.lax.dynamic_slice(weights, (lo, jnp.int32(0)),
+                                    (block, EXT))
+        return jax.lax.dynamic_update_slice(
+            weights, jf.eadd(seg, block_vals), (lo, jnp.int32(0)))
+
+    return accum
+
+
+@functools.cache
+def _scale_fn():
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def scale(tab, s):
+        return jf.emul(tab, jnp.broadcast_to(s, tab.shape))
+
+    return scale
+
+
+@functools.cache
+def _next_mle_folded_fn(n: int):
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    one = dpoly.eone_m()
+
+    @jax.jit
+    def nm(outer):
+        onej = jnp.asarray(one)
+        res = jnp.zeros((1 << n, EXT), jnp.uint32)
+        for k in range(n):
+            prod = jf.esub(onej, outer[n - k - 1])
+            for i in range(n - k, n):
+                prod = jf.emul(prod, outer[i])
+            eq_tab = dpoly._eval_eq_fn(n - k - 1)(outer[:n - k - 1], prod)
+            idx = (jnp.arange(1 << (n - k - 1)) << (k + 1)) + (1 << k)
+            res = res.at[idx].set(jf.eadd(res[idx], eq_tab))
+        prod = onej
+        for i in range(n):
+            prod = jf.emul(prod, outer[i])
+        res = res.at[-1].set(jf.eadd(res[-1], prod))
+        return res
+
+    return nm
+
+
+@functools.cache
+def _emul_s_fn():
+    jax, _ = _jax()
+    from ..field import jnp_field as jf
+    return jax.jit(jf.emul)
+
+
+@functools.cache
+def _sum_update_fn():
+    jax, _ = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def upd(combined_sum, value, gamma_pow, gamma):
+        new_sum = jf.eadd(combined_sum, jf.emul(value, gamma_pow))
+        return new_sum, jf.emul(gamma_pow, gamma)
+
+    return upd
+
+
+def combine_statement_dev(statements: list, gamma):
+    """Device build of (weights (2^n,5) monty, combined_sum (5,) monty);
+    gamma-power order identical to whir.statement.combine_statement."""
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    num_variables = statements[0].total_num_variables
+    weights = jnp.zeros((1 << num_variables, EXT), jnp.uint32)
+    combined_sum = jnp.zeros(EXT, jnp.uint32)
+    gamma_pow = jnp.asarray(dpoly.eone_m())
+
+    for smt in statements:
+        inner_n = smt.inner_num_variables()
+        if smt.is_next:
+            base_poly = _next_mle_folded_fn(inner_n)(smt.point)
+        else:
+            base_poly = None  # eq table built per value with the seed
+        for v in smt.values:
+            lo = v.selector << inner_n
+            if base_poly is None:
+                block = dpoly.deval_eq(smt.point, gamma_pow)
+            else:
+                block = _scale_fn()(base_poly, gamma_pow)
+            if (1 << num_variables) == (1 << inner_n):
+                assert v.selector == 0
+                weights = _emul_add_full(weights, block)
+            else:
+                weights = _accum_block_fn(1 << num_variables, 1 << inner_n)(
+                    weights, block, jnp.uint32(lo))
+            combined_sum, gamma_pow = _sum_update_fn()(
+                combined_sum, v.value, gamma_pow, gamma)
+
+    return weights, combined_sum
+
+
+@functools.cache
+def _add_full_fn():
+    jax, _ = _jax()
+    from ..field import jnp_field as jf
+    return jax.jit(jf.eadd)
+
+
+def _emul_add_full(weights, block):
+    return _add_full_fn()(weights, block)
+
+
+# --- STIR helpers -----------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _gen_pow2_monty(gen_log: int, bits: int) -> np.ndarray:
+    """[g^(2^j) for j in 0..bits) in monty form, g = 2-adic gen of order
+    2^gen_log."""
+    from ..field.np_field import two_adic_generator
+    g = two_adic_generator(gen_log)
+    out = []
+    cur = g % P
+    for _ in range(bits):
+        out.append((cur << 32) % P)
+        cur = (cur * cur) % P
+    return np.array(out, np.uint32)
+
+
+@functools.cache
+def _pow_from_bits_fn(bits: int):
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    one = dpoly.MONTY_ONE
+
+    @jax.jit
+    def pow_(indices, gen_pows):
+        acc = jnp.full(indices.shape, one, jnp.uint32)
+        for j in range(bits):
+            bit = (indices >> np.uint32(j)) & np.uint32(1)
+            term = jnp.where(bit == 1, gen_pows[j], np.uint32(one))
+            acc = jf.mul(acc, term)
+        return acc
+
+    return pow_
+
+
+def domain_gen_powers_dev(indices, gen_log: int, bits: int):
+    """g^indices as (q,) monty device values."""
+    _, jnp = _jax()
+    gen_pows = jnp.asarray(_gen_pow2_monty(gen_log, bits))
+    return _pow_from_bits_fn(bits)(indices, gen_pows)
+
+
+@functools.cache
+def _batch_eval_leaf_fn(k: int, is_ext: bool):
+    """Evaluate each opened leaf row at the folding randomness:
+    rows (q, W) monty -> (q, 5) monty."""
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def ev(rows_m, point):
+        q = rows_m.shape[0]
+        cur = rows_m.reshape((q, 1 << k, EXT) if is_ext
+                             else (q, 1 << k))
+        for i in range(k):
+            half = cur.shape[1] // 2
+            lo, hi = cur[:, :half], cur[:, half:]
+            diff = jf.sub(hi, lo)
+            x = point[i]
+            if cur.ndim == 2:
+                xb = jnp.broadcast_to(x[None, None, :], (q, half, EXT))
+                cur = jf.eadd(jf.efrom_base(lo), jf.escalar_mul(xb, diff))
+            else:
+                xb = jnp.broadcast_to(x[None, None, :], (q, half, EXT))
+                cur = jf.eadd(lo, jf.emul(diff, xb))
+        return cur[:, 0]
+
+    return ev
+
+
+@functools.cache
+def _mask_fn(bits: int):
+    jax, jnp = _jax()
+    mask = np.uint32((1 << bits) - 1)
+    return jax.jit(lambda fes: fes & mask)
+
+
+# --- the opening argument ---------------------------------------------------
+
+
+class _DevSumcheckState:
+    def __init__(self, evals, weights, sum_):
+        self.evals = evals
+        self.weights = weights
+        self.sum = sum_
+
+    def run_rounds(self, prover_state, n_rounds: int, pow_bits: int):
+        challenges, (self.evals, self.weights), self.sum = \
+            sumcheck_prove_dev([self.evals, self.weights], "product", None,
+                               None, prover_state, self.sum,
+                               n_rounds=n_rounds, pow_bits=pow_bits)
+        return challenges
+
+    def add_new_equality(self, points, evaluations, comb_gamma, n_comb):
+        """points: list of (n,5) dev; evaluations: list of (5,) dev;
+        randomness = successive powers of comb_gamma (1, g, g^2, ...)."""
+        jax, jnp = _jax()
+        from ..field import jnp_field as jf
+        gamma_pow = jnp.asarray(dpoly.eone_m())
+        for point, ev in zip(points, evaluations):
+            block = dpoly.deval_eq(point, gamma_pow)
+            self.weights = _add_full_fn()(self.weights, block)
+            self.sum, gamma_pow = _sum_update_fn()(self.sum, ev, gamma_pow,
+                                                   comb_gamma)
+
+
+def open_dev(config: WhirConfig, prover_state, statements: list,
+             witness: DWitness, polynomial):
+    """Device WHIR opening proof (open.rs:36-180); returns the final
+    folding randomness (n, 5) monty device."""
+    jax, jnp = _jax()
+    assert config.num_variables == (
+        config.folding_factor.total_number(config.n_rounds())
+        + config.final_sumcheck_rounds)
+
+    ood_statements = []
+    for i in range(int(witness.ood_points.shape[0])):
+        pt = dpoly.dexpand_from_univariate(witness.ood_points[i],
+                                           config.num_variables)
+        ood_statements.append(DStatement(
+            config.num_variables, pt,
+            [DStatementValue(0, witness.ood_answers[i])]))
+    statements = ood_statements + list(statements)
+
+    prover_state.duplex()
+    gamma = prover_state.sample()
+
+    weights, sum_ = combine_statement_dev(statements, gamma)
+    state = _DevSumcheckState(polynomial, weights, sum_)
+    challenges = state.run_rounds(prover_state,
+                                  config.folding_factor.at_round(0),
+                                  config.starting_folding_pow_bits)
+    randomness_vec = [challenges[i] for i in range(challenges.shape[0])]
+
+    domain_size = config.starting_domain_size()
+    next_domain_gen_log = (domain_size.bit_length() - 1
+                           - config.folding_factor.at_round(0))
+    merkle_tree = witness.tree
+
+    for round_index in range(config.n_rounds()):
+        round_params = config.round_parameters[round_index]
+        num_variables = (config.num_variables
+                         - config.folding_factor.total_number(round_index))
+        folding_factor_next = config.folding_factor.at_round(round_index + 1)
+
+        domain_reduction = 1 << config.rs_reduction_factor(round_index)
+        new_domain_size = domain_size // domain_reduction
+        inv_rate_log = (new_domain_size.bit_length() - 1) - num_variables
+        matrix = reorder_and_dft_dev(state.evals, folding_factor_next,
+                                     inv_rate_log, 1 << folding_factor_next)
+        new_tree = DevMerkleTree(
+            matrix, full_base_width=(1 << folding_factor_next) * EXT)
+        prover_state.add_monty_scalars(new_tree.root_monty())
+
+        ood_points, ood_answers = sample_ood_points_dev(
+            prover_state, round_params.ood_samples, num_variables,
+            state.evals)
+
+        prover_state.pow_grinding(round_params.query_pow_bits)
+
+        folded_domain_size = (domain_size
+                              >> config.folding_factor.at_round(round_index))
+        fd_bits = folded_domain_size.bit_length() - 1
+        stir_fes = prover_state.sample_in_range_fes(round_params.num_queries)
+        stir_indexes = _mask_fn(fd_bits)(stir_fes)  # (q,) canonical dev
+
+        ood_challenges = [
+            dpoly.dexpand_from_univariate(ood_points[i], num_variables)
+            for i in range(int(ood_points.shape[0]))]
+        gen_vals = domain_gen_powers_dev(stir_indexes, next_domain_gen_log,
+                                         fd_bits)
+        stir_challenges = []
+        for i in range(round_params.num_queries):
+            base_scalar = jnp.concatenate(
+                [gen_vals[i][None], jnp.zeros(4, jnp.uint32)])
+            stir_challenges.append(dpoly.dexpand_from_univariate(
+                base_scalar, num_variables))
+
+        k_this = config.folding_factor.at_round(round_index)
+        folding_randomness = jnp.stack(randomness_vec[-k_this:])
+
+        # open previous tree at the queried leaves
+        leaf_rows_c, sibs_c = merkle_tree.open_many(stir_indexes)
+        prover_state.hint_merkle_group(leaf_rows_c, sibs_c, stir_indexes)
+        rows_m = jnp.take(merkle_tree.base, stir_indexes, axis=0)
+        stir_evals = _batch_eval_leaf_fn(k_this, merkle_tree.is_ext)(
+            rows_m, folding_randomness)
+
+        prover_state.duplex()
+        comb_gamma = prover_state.sample()
+        n_comb = len(ood_challenges) + len(stir_challenges)
+        state.add_new_equality(
+            ood_challenges + stir_challenges,
+            [ood_answers[i] for i in range(int(ood_answers.shape[0]))]
+            + [stir_evals[i] for i in range(round_params.num_queries)],
+            comb_gamma, n_comb)
+
+        next_challenges = state.run_rounds(prover_state, folding_factor_next,
+                                           round_params.folding_pow_bits)
+        randomness_vec.extend(
+            [next_challenges[i] for i in range(next_challenges.shape[0])])
+
+        domain_size = new_domain_size
+        next_domain_gen_log = (new_domain_size.bit_length() - 1
+                               - folding_factor_next)
+        merkle_tree = new_tree
+
+    # final round (open.rs:182-248)
+    coeffs = dpoly.devals_to_coeffs(state.evals)
+    prover_state.add_extension_scalars(coeffs)
+    prover_state.pow_grinding(config.final_query_pow_bits)
+
+    k_last = config.folding_factor.at_round(config.n_rounds())
+    final_folded_domain = domain_size >> k_last
+    final_fes = prover_state.sample_in_range_fes(config.final_queries)
+    final_indexes = _mask_fn(final_folded_domain.bit_length() - 1)(final_fes)
+    leaf_rows_c, sibs_c = merkle_tree.open_many(final_indexes)
+    prover_state.hint_merkle_group(leaf_rows_c, sibs_c, final_indexes)
+
+    if config.final_sumcheck_rounds > 0:
+        final_challenges = state.run_rounds(
+            prover_state, config.final_sumcheck_rounds, 0)
+        randomness_vec.extend(
+            [final_challenges[i] for i in range(final_challenges.shape[0])])
+
+    return jnp.stack(randomness_vec)
