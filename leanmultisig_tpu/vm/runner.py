@@ -97,6 +97,18 @@ def _inverse_compute(operation: str, res: int, known: int) -> int:
 def execute_bytecode(bytecode: Bytecode, public_input, witness: ExecutionWitness
                      ) -> ExecutionResult:
     """(runner.rs:236-349)"""
+    import os
+    if os.environ.get("LMS_NATIVE_VM", "1") != "0":
+        from .native_runner import execute_bytecode_native
+        result = execute_bytecode_native(bytecode, public_input, witness)
+        if result is not None:
+            return result
+    return _execute_bytecode_py(bytecode, public_input, witness)
+
+
+def _execute_bytecode_py(bytecode: Bytecode, public_input,
+                         witness: ExecutionWitness) -> ExecutionResult:
+    """Python interpreter: reference semantics + pretty diagnostics."""
     public_memory = list(int(v) for v in public_input)
     pot = 1 if len(public_memory) <= 1 else 1 << (len(public_memory) - 1).bit_length()
     public_memory += [0] * (pot - len(public_memory))

@@ -38,12 +38,8 @@ def get_execution_trace(bytecode: Bytecode,
                         result: ExecutionResult) -> ExecutionTrace:
     assert len(result.pcs) == len(result.fps)
     n_cycles = len(result.pcs)
-    memory_cells = result.memory.cells
-
-    def mem_at(addr: int) -> int:
-        if 0 <= addr < len(memory_cells) and memory_cells[addr] is not None:
-            return memory_cells[addr]
-        return 0
+    from .native_runner import NativeMemory
+    native_mem = isinstance(result.memory, NativeMemory)
 
     from .isa import N_TEMPORARY_EXEC_COLUMNS, N_TOTAL_EXECUTION_COLUMNS
     n_cols = N_TOTAL_EXECUTION_COLUMNS + N_TEMPORARY_EXEC_COLUMNS
@@ -55,8 +51,12 @@ def get_execution_trace(bytecode: Bytecode,
     fps = np.asarray(result.fps, np.int64)
     instr = iml.reshape(-1, cols_pot)[pcs].astype(np.int64)  # (n, 16)
 
-    mem_np = np.array([v if v is not None else 0 for v in memory_cells],
-                      np.int64)
+    if native_mem:
+        mem_np = result.memory.vals.astype(np.int64)
+    else:
+        mem_np = np.array(
+            [v if v is not None else 0 for v in result.memory.cells],
+            np.int64)
     mem_len = len(mem_np)
 
     def gather(addr):
@@ -106,16 +106,14 @@ def get_execution_trace(bytecode: Bytecode,
     main[COL_MEM_ADDRESS_B] = addr_b.tolist()
     main[COL_MEM_ADDRESS_C] = addr_c.tolist()
 
-    memory_padded = [v if v is not None else 0 for v in memory_cells]
-    padding_zero_vec_ptr = len(memory_padded)
-    memory_padded.extend([0] * 16)
-    null_hash_ptr = len(memory_padded)
-    memory_padded.extend(int(v) for v in get_poseidon_16_of_zero())
-
-    target = max(len(memory_padded), n_cycles, 1 << MIN_LOG_N_ROWS_PER_TABLE)
+    padding_zero_vec_ptr = mem_len
+    null_hash_ptr = mem_len + 16
+    base_len = mem_len + 16 + 8
+    target = max(base_len, n_cycles, 1 << MIN_LOG_N_ROWS_PER_TABLE)
     padded_len = 1 << (target - 1).bit_length()
-    memory_padded.extend([0] * (padded_len - len(memory_padded)))
-    memory_np = np.array(memory_padded, np.uint32)
+    memory_np = np.zeros(padded_len, np.uint32)
+    memory_np[:mem_len] = mem_np
+    memory_np[null_hash_ptr:null_hash_ptr + 8] = get_poseidon_16_of_zero()
 
     traces = result.traces
     fill_trace_poseidon_16(traces[POSEIDON16])
