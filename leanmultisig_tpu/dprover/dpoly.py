@@ -98,6 +98,36 @@ def deval_mle(evals, point):
 
 
 @functools.cache
+def _eval_mle_cols_fn():
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def eval_cols(cols, point):
+        """cols: (C, 2^n) base monty; point (n,5) -> (C, 5)."""
+        cur = cols
+        n = point.shape[0]
+        for k in range(n):
+            half = cur.shape[1] // 2
+            lo, hi = cur[:, :half], cur[:, half:]
+            diff = jf.sub(hi, lo)
+            x = jnp.broadcast_to(point[k][None, None, :],
+                                 (cur.shape[0], half, EXT))
+            if cur.ndim == 2:
+                cur = jf.eadd(jf.efrom_base(lo), jf.escalar_mul(x, diff))
+            else:
+                cur = jf.eadd(lo, jf.emul(diff, x))
+        return cur[:, 0]
+
+    return eval_cols
+
+
+def deval_mle_cols(cols, point):
+    """Batched MLE eval of stacked base columns (C, 2^n) -> (C, 5)."""
+    return _eval_mle_cols_fn()(cols, point)
+
+
+@functools.cache
 def _eval_eq_fn(n: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf

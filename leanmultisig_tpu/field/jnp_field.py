@@ -189,18 +189,30 @@ def _dot5(a_cols, b_cols):
 
 def emul(a, b):
     """Extension multiply; reduction schedule mirrors quintic_mul
-    (quintic_extension/extension.rs:529-549)."""
-    av = [a[..., i] for i in range(5)]
+    (quintic_extension/extension.rs:529-549).
+
+    Vectorized over the 5x5 product lanes: ONE batched Montgomery multiply
+    on a (..., 5, 5) tensor plus a 3-level tree reduction, instead of 25
+    scalar multiplies — ~10x fewer traced primitives, identical values
+    (modular adds are associative on canonical representatives)."""
     bv = [b[..., i] for i in range(5)]
     b_0_m3 = sub(bv[0], bv[3])
     b_1_m4 = sub(bv[1], bv[4])
     b_4_m2 = sub(bv[4], bv[2])
-    c0 = _dot5(av, [bv[0], bv[4], bv[3], bv[2], b_1_m4])
-    c1 = _dot5(av, [bv[1], bv[0], bv[4], bv[3], bv[2]])
-    c2 = _dot5(av, [bv[2], b_1_m4, b_0_m3, b_4_m2, sub(bv[3], b_1_m4)])
-    c3 = _dot5(av, [bv[3], bv[2], b_1_m4, b_0_m3, b_4_m2])
-    c4 = _dot5(av, [bv[4], bv[3], bv[2], b_1_m4, b_0_m3])
-    return jnp.stack([c0, c1, c2, c3, c4], axis=-1)
+    b_3_m14 = sub(bv[3], b_1_m4)
+    # B[..., i, k] = schedule column k at lane i (c_k = sum_i a_i * B[i,k])
+    flat = [
+        bv[0], bv[1], bv[2], bv[3], bv[4],
+        bv[4], bv[0], b_1_m4, bv[2], bv[3],
+        bv[3], bv[4], b_0_m3, b_1_m4, bv[2],
+        bv[2], bv[3], b_4_m2, b_0_m3, b_1_m4,
+        b_1_m4, bv[2], b_3_m14, b_4_m2, b_0_m3,
+    ]
+    bmat = jnp.stack(flat, axis=-1).reshape(bv[0].shape + (5, 5))
+    prods = mul(a[..., :, None], bmat)
+    t0 = add(prods[..., 0, :], prods[..., 1, :])
+    t1 = add(prods[..., 2, :], prods[..., 3, :])
+    return add(add(t0, t1), prods[..., 4, :])
 
 
 def escalar_mul(a, s):
@@ -227,14 +239,13 @@ def _frob_rows():
 
 
 def efrobenius(a, count: int = 1):
-    rows = _frob_rows()
+    rows = jnp.asarray(_frob_rows())  # (4, 5)
     for _ in range(count % 5):
-        out = [a[..., 0]] + [jnp.zeros_like(a[..., 0])] * 4
-        for i in range(4):
-            for j in range(5):
-                term = mul(a[..., i + 1], jnp.asarray(rows[i][j]))
-                out[j] = add(out[j], term)
-        a = jnp.stack(out, axis=-1)
+        prods = mul(a[..., 1:, None], rows)          # (..., 4, 5)
+        s = add(add(prods[..., 0, :], prods[..., 1, :]),
+                add(prods[..., 2, :], prods[..., 3, :]))
+        a = jnp.concatenate(
+            [add(s[..., :1], a[..., :1]), s[..., 1:]], axis=-1)
     return a
 
 

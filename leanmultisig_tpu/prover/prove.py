@@ -40,6 +40,12 @@ BUS_SIGN = {"pull": -1, "push": 1}
 
 def prove_execution(bytecode, public_input, witness: ExecutionWitness,
                     whir_config_builder):
+    import os
+    if os.environ.get("LMS_DPROVE") == "1":
+        # device-resident pipeline (transcript-identical; tests assert it)
+        from ..dprover.dprove import prove_execution_dev
+        return prove_execution_dev(bytecode, public_input, witness,
+                                   whir_config_builder)
     from ..utils.logs import span
     with span("execute"):
         result = execute_bytecode(bytecode, public_input, witness)

@@ -22,3 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compile cache: the device-prover suite compiles many
+# shape-specialized kernels; caching them across runs keeps tests fast.
+_cache_dir = os.environ.get("LMS_XLA_CACHE",
+                            os.path.expanduser("~/.cache/lms_xla_tests"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

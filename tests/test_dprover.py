@@ -141,6 +141,69 @@ def test_dev_gkr_transcript_matches_host():
     assert np.array_equal(point_h, host(point_d))
 
 
+def test_dev_p16_air_eval_matches_host():
+    """Structured device poseidon16 constraint evaluator == host
+    ConstraintFolder accumulator (base and ext batches)."""
+    import jax.numpy as jnp
+    from leanmultisig_tpu.air.builder import eval_air_at
+    from leanmultisig_tpu.air.tables_air import (ExtraDataForBuses,
+                                                 TABLE_AIRS,
+                                                 max_air_constraints)
+    from leanmultisig_tpu.dprover.dair import eval_p16_constraints_monty
+
+    rng = np.random.default_rng(31)
+    air = TABLE_AIRS["poseidon16"]
+    alpha = rng.integers(0, P, size=5, dtype=np.uint32)
+    apw = [pp.EONE.copy()]
+    for _ in range(max_air_constraints()):
+        apw.append(nf.emul(apw[-1], alpha))
+    apw = np.stack(apw)
+    extra = ExtraDataForBuses(
+        rng.integers(0, P, size=(16, 5), dtype=np.uint32),
+        rng.integers(0, P, size=5, dtype=np.uint32))
+    apw_m = dev(apw)
+    ae_m = dev(extra.logup_alphas_eq_poly)
+    bb_m = dev(extra.bus_beta)
+
+    for shape in ((8,), (8, 5)):
+        flat = [rng.integers(0, P, size=shape, dtype=np.uint32)
+                for _ in range(air.n_columns)]
+        ref = eval_air_at(lambda b: air.eval_fn(b, extra), flat, [],
+                          apw, extra)
+        got_m = eval_p16_constraints_monty([dev(c) for c in flat],
+                                           apw_m, ae_m, bb_m)
+        assert np.array_equal(ref, host(got_m)), shape
+
+
+def test_dev_full_prove_matches_host():
+    """THE device-prover test: full prove_execution transcript equality
+    (stacked commit -> logup GKR -> batched AIR sumcheck incl. the
+    structured poseidon16 evaluator -> WHIR open -> merkle paths)."""
+    from test_e2e import _test_builder
+    from test_vm import build_program
+    from leanmultisig_tpu.prover.prove import prove_execution
+    from leanmultisig_tpu.dprover.dprove import prove_execution_dev
+    from leanmultisig_tpu.vm import ExecutionWitness
+    from leanmultisig_tpu.prover.verify import verify_execution
+
+    bc = build_program()
+    pub = [5, 6, 7]
+    builder = _test_builder()
+    hp, _ = prove_execution(bc, pub, ExecutionWitness(), builder)
+    dp, _ = prove_execution_dev(bc, pub, ExecutionWitness(), builder)
+    assert np.array_equal(hp.transcript, dp.transcript)
+    from leanmultisig_tpu.fs.merkle_pruning import restore
+    assert len(hp.merkle_paths) == len(dp.merkle_paths)
+    for hg, dg in zip(hp.merkle_paths, dp.merkle_paths):
+        hps, dps = restore(hg), restore(dg)
+        for a, b in zip(hps, dps):
+            assert a.leaf_index == b.leaf_index
+            assert np.array_equal(a.leaf_data, b.leaf_data)
+            assert np.array_equal(a.sibling_hashes, b.sibling_hashes)
+    # and the device proof verifies under the host verifier
+    verify_execution(bc, pub, dp, builder)
+
+
 def test_dev_whir_commit_open_matches_host():
     from leanmultisig_tpu.fs.prover import ProverState
     from leanmultisig_tpu.dprover.dfs import DevProverState
