@@ -5,9 +5,14 @@ protocol security (124-bit, WHIR rate 1/2), matching the reference's
 headline setup (`xmss --n-signatures N --log-inv-rate 1`, README.md:29-36;
 baseline 1319 XMSS/s on M4 Max CPU).
 
-Round-1 status: the prover is the host (numpy) reference implementation —
-device (TPU) kernels for the hot paths land next. BENCH_N_SIGS env var
-overrides the batch size (default 8).
+Prover selection:
+  - a TPU/accelerator is visible  -> device-resident prover (dprover/)
+  - CPU only                      -> host (numpy + native C) prover
+  - BENCH_PROVER=host|device overrides.
+
+The first device run compiles several hundred shape-specialized kernels
+(persistently cached in .jax_cache); an untimed warmup run absorbs
+compile + tracing, then BENCH_REPS timed reps report the min.
 """
 
 from __future__ import annotations
@@ -22,7 +27,18 @@ import numpy as np
 BASELINE_XMSS_PER_S = 1319.0  # reference README.md:35
 
 
-def bench_xmss_aggregation(n_sigs: int) -> dict:
+def _select_prover() -> str:
+    forced = os.environ.get("BENCH_PROVER")
+    if forced in ("host", "device"):
+        return forced
+    import jax
+    try:
+        return "device" if jax.devices()[0].platform != "cpu" else "host"
+    except Exception:
+        return "host"
+
+
+def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
     from leanmultisig_tpu.aggregation.driver import (aggregate, make_signers,
                                                      sign_all,
                                                      verify_aggregate)
@@ -47,6 +63,18 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
     from leanmultisig_tpu.vm import tables as _T
     for _t in _T.ALL_TABLES:
         get_native_evaluator(_t)
+    from leanmultisig_tpu.vm.native_runner import get_vmrunner_lib
+    get_vmrunner_lib()
+
+    if prover == "device":
+        os.environ["LMS_DPROVE"] = "1"
+        # warmup run: XLA compiles + tracing, untimed
+        t0 = time.perf_counter()
+        aggregate(message, pub_keys, sigs, cfg, native_check=False)
+        warmup_s = time.perf_counter() - t0
+    else:
+        os.environ.pop("LMS_DPROVE", None)
+        warmup_s = 0.0
 
     # min-of-N timing: the shared host shows bursty multi-second steal
     # windows; the fastest rep reflects the prover, not the neighbors
@@ -69,7 +97,9 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
         "vs_baseline": round(sigs_per_s / BASELINE_XMSS_PER_S, 6),
         "detail": {
             "n_sigs": n_sigs,
-            "prove_s": round(dt, 1),
+            "prove_s": round(dt, 2),
+            "prover": prover,
+            "warmup_s": round(warmup_s, 1),
             "proof_KiB": round(proof.proof_size_fe() * 4 / 1024, 1),
             "cycles": metadata["cycles"],
             "security": "124-bit johnson, rate 1/2",
@@ -79,24 +109,18 @@ def bench_xmss_aggregation(n_sigs: int) -> dict:
 
 def main() -> None:
     # 47 signatures fill the 2^16-row execution table exactly
-    # (1697 fixed + 1332/sig cycles): best table occupancy -> best
-    # throughput on this host. Larger batches cross into 2^17 and halve
-    # the occupancy until ~97 sigs.
+    # (1697 fixed + 1332/sig cycles): best table occupancy per proof.
     n_sigs = int(os.environ.get("BENCH_N_SIGS", "47"))
-    # Device path is opt-in for the bench until the jit compile cache is
-    # persistent: over the tunneled TPU, first-run per-shape compiles and
-    # the transfer warmup dominate a single timed proof. BENCH_DEVICE=1
-    # opts in (and enables the on-disk XLA compilation cache).
-    if os.environ.get("BENCH_DEVICE") == "1":
-        os.environ.setdefault("LMS_DEVICE", "1")
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__),
-                                       ".jax_cache"))
-    else:
-        os.environ.setdefault("LMS_DEVICE", "0")
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    prover = _select_prover()
     try:
-        result = bench_xmss_aggregation(n_sigs)
+        result = bench_xmss_aggregation(n_sigs, prover)
     except Exception as e:  # report a failed bench honestly
         result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
                   "unit": "sigs/s", "vs_baseline": 0, "error": str(e)[:200]}

@@ -97,7 +97,8 @@ def _cmd_tree_bench(args) -> int:
     fanouts = [int(x) for x in args.fanouts.split(",")]
     report = run_aggregation_benchmark(
         AggregationTopology(fanouts),
-        default_whir_config_builder(args.log_inv_rate), seed=args.seed)
+        default_whir_config_builder(args.log_inv_rate), seed=args.seed,
+        warmup=args.warmup, reps=args.reps)
     print(render_tree(report), file=sys.stderr)
     print(json.dumps(report))
     return 0
@@ -146,6 +147,10 @@ def main(argv=None) -> int:
                     help="sigs-per-leaf,then merge fanouts (e.g. 4,2,2)")
     tb.add_argument("--log-inv-rate", type=int, default=1)
     tb.add_argument("--seed", type=int, default=42)
+    tb.add_argument("--warmup", type=int, default=1,
+                    help="untimed warmup proves before timing")
+    tb.add_argument("--reps", type=int, default=3,
+                    help="timed reps per node (mean +/- 95%% CI)")
     tb.set_defaults(fn=_cmd_tree_bench)
 
     v = sub.add_parser("verify", help="verify a proof artifact")

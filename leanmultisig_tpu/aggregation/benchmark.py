@@ -29,17 +29,36 @@ from .recursion_driver import (_inner_shape, prove_aggregated,
 class NodeStats:
     kind: str            # "leaf" | "merge"
     n_xmss: int
-    prove_s: float
+    prove_s: float       # mean over reps
     proof_kib: float
     cycles: int
+    ci95_s: float = 0.0  # 1.96 * stderr over reps (benchmark.rs:50-132)
     children: list = field(default_factory=list)
 
     def as_dict(self) -> dict:
         return {"kind": self.kind, "n_xmss": self.n_xmss,
                 "prove_s": round(self.prove_s, 3),
+                "ci95_s": round(self.ci95_s, 3),
                 "proof_kib": round(self.proof_kib, 1),
                 "cycles": self.cycles,
                 "children": [c.as_dict() for c in self.children]}
+
+
+def _timed(fn, reps: int):
+    """Run fn() `reps` times -> (last result, mean_s, ci95_s)."""
+    times = []
+    out = None
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    mean = sum(times) / len(times)
+    if len(times) > 1:
+        var = sum((t - mean) ** 2 for t in times) / (len(times) - 1)
+        ci95 = 1.96 * (var ** 0.5) / (len(times) ** 0.5)
+    else:
+        ci95 = 0.0
+    return out, mean, ci95
 
 
 @dataclass
@@ -60,12 +79,22 @@ class AggregationTopology:
 
 
 def run_aggregation_benchmark(topology: AggregationTopology, builder,
-                              seed: int = 42, verify: bool = True) -> dict:
-    """Run the whole tree; returns the JSON-able report."""
+                              seed: int = 42, verify: bool = True,
+                              warmup: int = 0, reps: int = 1) -> dict:
+    """Run the whole tree; returns the JSON-able report.
+
+    warmup: untimed leaf proves beforehand (jit/native-kernel caches);
+    reps: timed repetitions per node, reported as mean +/- 95% CI
+    (benchmark.rs:50-132 analog)."""
     rng = np.random.default_rng(seed)
     n_sigs = topology.fanouts[0]
     signers = make_signers(n_sigs)
     pub_keys = [pk for _, pk in signers]
+
+    for _ in range(warmup):
+        wmsg = rng.integers(0, P, size=8, dtype=np.uint32)
+        aggregate(wmsg, pub_keys, sign_all(signers, wmsg), builder,
+                  native_check=False)
 
     t_total = time.perf_counter()
     # --- leaves: XMSS aggregation proofs (one message per leaf) -----------
@@ -75,14 +104,13 @@ def run_aggregation_benchmark(topology: AggregationTopology, builder,
     for _ in range(topology.n_leaves()):
         message = rng.integers(0, P, size=8, dtype=np.uint32)
         sigs = sign_all(signers, message)
-        t0 = time.perf_counter()
-        bc, pub, proof, md = aggregate(message, pub_keys, sigs, builder,
-                                       native_check=False)
-        dt = time.perf_counter() - t0
+        (bc, pub, proof, md), dt, ci = _timed(
+            lambda: aggregate(message, pub_keys, sigs, builder,
+                              native_check=False), reps)
         leaves.append((pub, proof))
         leaf_stats.append(NodeStats("leaf", n_sigs, dt,
                                     proof.proof_size_fe() * 4 / 1024,
-                                    md["cycles"]))
+                                    md["cycles"], ci95_s=ci))
 
     # --- merge levels (bottom-up) ----------------------------------------
     level_nodes = leaves
@@ -96,10 +124,9 @@ def run_aggregation_benchmark(topology: AggregationTopology, builder,
                                           level_nodes[0][1], builder)
         for i in range(0, len(level_nodes), fan):
             children = level_nodes[i:i + fan]
-            t0 = time.perf_counter()
-            obc, opub, oproof, md = prove_aggregated(level_bc, children,
-                                                     builder, builder)
-            dt = time.perf_counter() - t0
+            (obc, opub, oproof, md), dt, ci = _timed(
+                lambda: prove_aggregated(level_bc, children, builder,
+                                         builder), reps)
             if verify:
                 verify_recursive(level_bc, obc, opub, oproof, builder,
                                  log_memory, tlr, inner_pub_len)
@@ -107,7 +134,7 @@ def run_aggregation_benchmark(topology: AggregationTopology, builder,
                            sum(s.n_xmss for s in next_children_stats(
                                level_stats, i, fan)), dt,
                            oproof.proof_size_fe() * 4 / 1024, md["cycles"],
-                           children=level_stats[i:i + fan])
+                           ci95_s=ci, children=level_stats[i:i + fan])
             next_nodes.append((opub, oproof))
             next_stats.append(st)
         level_nodes, level_stats = next_nodes, next_stats
@@ -138,8 +165,10 @@ def render_tree(report: dict) -> str:
 
     def walk(node, depth):
         pad = "  " * depth
+        ci = node.get("ci95_s", 0)
+        ci_str = f" +/-{ci}" if ci else ""
         lines.append(f"{pad}{node['kind']}: {node['n_xmss']} sigs, "
-                     f"{node['prove_s']}s, {node['proof_kib']} KiB, "
+                     f"{node['prove_s']}s{ci_str}, {node['proof_kib']} KiB, "
                      f"{node['cycles']} cycles")
         for c in node.get("children", []):
             walk(c, depth + 1)

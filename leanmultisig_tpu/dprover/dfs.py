@@ -31,10 +31,15 @@ def _jax():
 
 
 def to_dev_monty(x):
-    """Host canonical uint32 array -> device monty array (async upload)."""
+    """Host canonical uint32 array -> device monty array (async upload);
+    row-sharded over the active prover mesh (dshard) when one is set."""
     _, jnp = _jax()
     from ..field import jnp_field as jf
-    return jnp.asarray(jf.to_monty_np(np.asarray(x, np.uint32)))
+    from .dshard import current_mesh, shard_rows
+    m = jf.to_monty_np(np.asarray(x, np.uint32))
+    if current_mesh() is not None:
+        return shard_rows(m)
+    return jnp.asarray(m)
 
 
 @functools.cache
