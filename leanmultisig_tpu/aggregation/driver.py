@@ -14,10 +14,11 @@ from ..field.constants import P
 from ..prover.prove import prove_execution
 from ..prover.verify import verify_execution
 from ..vm.runner import ExecutionWitness
-from ..xmss.core import CHAIN_LENGTH, TWEAK_TYPE_ENCODING, V, make_tweak
-from ..xmss.scheme import (XmssPublicKey, XmssSignature, _compress,
+from ..xmss.scheme import (XmssPublicKey, XmssSignature,
                            xmss_key_gen, xmss_sign, xmss_verify)
-from .guest import generate_guest, preamble_layout, public_input_layout
+from .guest import (compute_merkle_chunks, compute_tweak_table,
+                    compute_tweaks_hash, generate_guest, preamble_layout,
+                    public_input_layout)
 
 BENCHMARK_SLOT = 111  # signers_cache.rs:14
 
@@ -61,17 +62,18 @@ def sign_all(signers, message: np.ndarray, slot: int = BENCHMARK_SLOT,
     return [xmss_sign(sk, message, slot, rng) for sk, _ in signers]
 
 
-def _encoding_high(message, pk: XmssPublicKey, randomness, slot) -> list[int]:
-    """High 7-bit parts of the encoding compression (guest hint)."""
-    first_right = np.zeros(8, np.uint32)
-    first_right[:6] = randomness
-    first_right[6:8] = make_tweak(TWEAK_TYPE_ENCODING, 0, slot)
-    pre = _compress(np.concatenate([np.asarray(message, np.uint32),
-                                    first_right]))
-    second_right = np.zeros(8, np.uint32)
-    second_right[:4] = pk.public_param
-    compressed = _compress(np.concatenate([pre, second_right]))
-    return [int(x) >> 24 for x in compressed]
+def build_public_input(message, pub_keys: list,
+                       slot: int = BENCHMARK_SLOT) -> list[int]:
+    """[n | message(8) | merkle_chunks(8) | tweaks_hash(8) | per-sig
+    root(4) pp(4)] — the slot enters via chunks + tweaks hash
+    (build_type1_input_data analog, type_1_aggregation.rs:161-185)."""
+    public_input = [len(pub_keys)] + [int(x) for x in message]
+    public_input += compute_merkle_chunks(slot)
+    public_input += [int(x) for x in compute_tweaks_hash(slot)]
+    for pk in pub_keys:
+        public_input += [int(x) for x in pk.merkle_root]
+        public_input += [int(x) for x in pk.public_param]
+    return public_input
 
 
 def build_witness(message, pub_keys: list, signatures: list,
@@ -79,23 +81,19 @@ def build_witness(message, pub_keys: list, signatures: list,
     n = len(signatures)
     pub_len, _, _, _ = public_input_layout(n)
     pub_len_padded = 1 << (pub_len - 1).bit_length()
-    _, _, _, _, preamble_len = preamble_layout(pub_len_padded)
+    _, _, preamble_len = preamble_layout(pub_len_padded)
 
-    public_input = [n] + [int(x) for x in message]
-    for pk in pub_keys:
-        public_input += [int(x) for x in pk.merkle_root]
-        public_input += [int(x) for x in pk.public_param]
+    public_input = build_public_input(message, pub_keys, slot)
     assert len(public_input) == pub_len
 
-    hints = {"wots_sig": [], "merkle_node": [], "encoding_high": []}
+    hints = {"tweak_table": [compute_tweak_table(slot)],
+             "wots_sig": [], "xmss_merkle_node": []}
     for pk, sig in zip(pub_keys, signatures):
         hints["wots_sig"].append(
             [int(x) for x in sig.randomness]
             + [int(x) for x in sig.chain_tips.reshape(-1)])
         for level_nodes in sig.merkle_proof:
-            hints["merkle_node"].append([int(x) for x in level_nodes])
-        hints["encoding_high"].append(
-            _encoding_high(message, pk, sig.randomness, slot))
+            hints["xmss_merkle_node"].append([int(x) for x in level_nodes])
 
     return public_input, ExecutionWitness(preamble_memory_len=preamble_len,
                                           hints=hints)
@@ -105,10 +103,12 @@ _GUEST_CACHE: dict = {}
 
 
 def get_aggregation_bytecode(n_sigs: int, slot: int = BENCHMARK_SLOT):
-    key = (n_sigs, slot)
-    if key not in _GUEST_CACHE:
-        _GUEST_CACHE[key] = compile_program(generate_guest(n_sigs, slot))
-    return _GUEST_CACHE[key]
+    """Slot-independent bytecode (the slot is a runtime input); `slot`
+    is accepted for API compatibility but does not affect the result."""
+    del slot
+    if n_sigs not in _GUEST_CACHE:
+        _GUEST_CACHE[n_sigs] = compile_program(generate_guest(n_sigs))
+    return _GUEST_CACHE[n_sigs]
 
 
 def aggregate(message, pub_keys, signatures, whir_config_builder,

@@ -3,130 +3,153 @@
 Generates zkDSL source that verifies N_SIGS XMSS signatures inside the
 zkVM — the type-1 aggregation leaf workload (reference guest:
 rec_aggregation/zkdsl_implem/xmss_aggregate.py; host driver:
-type_1_aggregation.rs). All signatures share one benchmark slot
-(signers_cache.rs BENCHMARK_SLOT convention), so chain/Merkle tweaks and
-path directions are compile-time constants injected into the source —
-the same placeholder-injection architecture as the reference
-(compilation.rs:100-403).
+type_1_aggregation.rs). The bytecode is SLOT-INDEPENDENT: the slot enters
+at runtime through the public input —
 
-Public input layout: [n_sigs, message(8), per-sig: root(4) | pp(4)].
-Hints: "wots_sig" = [randomness(6) | chain_tips(42*4)] per signature;
-"merkle_nodes" = [32*4] per signature; "encoding_high" = [8] per sig.
+  * `merkle_chunks[8]`: the slot's 4-bit nibbles, dispatched per Merkle
+    chunk with `match_range` over the 16 left/right patterns
+    (xmss_aggregate.py:207-295, type_1_aggregation.rs:152-159);
+  * `tweaks_hash[8]`: T-sponge hash of the slot's tweak table; the host
+    writes the table into a fixed preamble region as a hint and the guest
+    re-hashes it in-circuit (type_1_aggregation.rs:102-109), so all
+    chain/Merkle tweaks stay compile-time ADDRESSES while their VALUES
+    are runtime.
 
-In-circuit checks per signature:
-  * encoding re-derivation: two Poseidon compresses; 3-bit limb
-    decomposition of each 24-bit low part (DecomposeBitsXMSS hint with
-    chunk=3), recomposition x = sum l_i 8^i + h*2^24 with range checks
-    l_i <= 7, h <= 126 (the h<127 bound rejects x = -1, mirroring the
-    reference's uniformity check, xmss_aggregate.py:59-78);
-  * target sum == 184;
-  * chain walks via match_range over the 8 step counts, each step one
-    `poseidon16_compress_half_hardcoded_left` against a preamble tweak
-    prefix (xmss_aggregate.py:84-110 idiom);
+Public input layout: [n_sigs | message(8) | merkle_chunks(8) |
+tweaks_hash(8) | per-sig: root(4) pp(4)].
+Hints: "tweak_table" = the 1480-FE table once; "wots_sig" =
+[randomness(6) | chain_tips(42*4)] per signature; "xmss_merkle_node" =
+one 4-FE sibling per level per signature.
+
+In-circuit checks per signature (paired-chunk design,
+xmss_aggregate.py:59-110):
+  * encoding re-derivation: two Poseidon compresses; 6-bit chunk
+    decomposition of the 6 relevant 24-bit low parts — each chunk packs
+    TWO chains' step counts (chunk_i = step_{2i} + 8*step_{2i+1});
+    per-FE partial-sum recomposition with the inv(2^24) = -127 trick:
+    remaining = (partial_sum - fe) * 127, assert remaining < 127
+    (uniformity + overflow rejection);
+  * target sum == 184, accumulated from per-pair constants;
+  * chain walks per PAIR: match_range over CHAIN_LENGTH^2 = 64 variants,
+    each step one `poseidon16_compress_half_hardcoded_left` against a
+    tweak-table prefix;
   * WOTS pk T-sponge (22 compresses);
-  * 32-level Merkle walk with constant directions, consuming hinted
-    sibling nodes; root equality against the public input.
+  * 32-level Merkle walk in 8 chunks of 4 levels via match_range over
+    the public merkle_chunks nibbles; the final compress writes into the
+    public root cells (write-once equality).
 """
 
 from __future__ import annotations
 
-from ..xmss.core import (CHAIN_LENGTH, LOG_LIFETIME, TARGET_SUM,
-                         TWEAK_TYPE_CHAIN, TWEAK_TYPE_ENCODING,
-                         TWEAK_TYPE_MERKLE, TWEAK_TYPE_WOTS_PK, V,
-                         make_tweak)
+from ..xmss.core import (CHAIN_LENGTH, LOG_LIFETIME, TARGET_SUM, V)
 
-N_CHAIN_TWEAKS = V * CHAIN_LENGTH  # one 4-FE prefix per (chain, step)
+N_CHAIN_TWEAKS = V * CHAIN_LENGTH
+# table: [encoding(4) | chains V*8*4 | wots_pk(4) | merkle 32*4]
+TWEAK_LEN = 4
+TWEAK_ENCODING_OFF = 0
+TWEAK_CHAIN_OFF = TWEAK_LEN
+TWEAK_WOTS_PK_OFF = TWEAK_CHAIN_OFF + N_CHAIN_TWEAKS * TWEAK_LEN
+TWEAK_MERKLE_OFF = TWEAK_WOTS_PK_OFF + TWEAK_LEN
+TWEAK_TABLE_SIZE = TWEAK_MERKLE_OFF + LOG_LIFETIME * TWEAK_LEN  # 1480
+assert TWEAK_TABLE_SIZE % 8 == 0
+N_MERKLE_CHUNKS = LOG_LIFETIME // 4
+NUM_ENCODING_FE = -(-V // 8)  # 6: FE words feeding chain steps
+CHUNKS_PER_FE = 4  # 24 bits / 6-bit chunks
 
 
 def public_input_layout(n_sigs: int):
     """-> (total_len, msg_offset, sig_base, sig_stride)."""
-    return 1 + 8 + 8 * n_sigs, 1, 9, 8
+    return 25 + 8 * n_sigs, 1, 25, 8
+
+
+MERKLE_CHUNKS_OFF = 9
+TWEAKS_HASH_OFF = 17
 
 
 def preamble_layout(pub_len_padded: int):
-    """Preamble: [chain prefixes 336*4 | merkle prefixes 32*4 | zeros 8 |
-    wots-pk-iv prefix 4 | pow8 EF table 8*5 | ones EF table V*5]."""
-    base = pub_len_padded
-    chain_base = base
-    merkle_base = chain_base + N_CHAIN_TWEAKS * 4
-    zeros_base = merkle_base + LOG_LIFETIME * 4
-    pk_iv_base = zeros_base + 8
-    pow8_base = pk_iv_base + 4
-    ones_base = pow8_base + 8 * 5
-    total = ones_base + V * 5 - base
-    return chain_base, merkle_base, zeros_base, pk_iv_base, total
+    """Preamble: [tweak table (hint-written) 1480 | zeros 8]."""
+    tweak_base = pub_len_padded
+    zeros_base = tweak_base + TWEAK_TABLE_SIZE
+    total = TWEAK_TABLE_SIZE + 8
+    return tweak_base, zeros_base, total
 
 
-def generate_guest(n_sigs: int, slot: int) -> str:
+def compute_tweak_table(slot: int) -> list[int]:
+    """Host-side table for `slot` (compute_tweak_table,
+    type_1_aggregation.rs:122-150)."""
+    from ..xmss.core import (TWEAK_TYPE_CHAIN, TWEAK_TYPE_ENCODING,
+                             TWEAK_TYPE_MERKLE, TWEAK_TYPE_WOTS_PK,
+                             make_tweak)
+    table: list[int] = []
+
+    def push(tweak_type, sub, index):
+        t = make_tweak(tweak_type, sub, index)
+        table.extend([int(t[0]), int(t[1]), 0, 0])
+
+    push(TWEAK_TYPE_ENCODING, 0, slot)
+    for c in range(V):
+        for s in range(CHAIN_LENGTH):
+            push(TWEAK_TYPE_CHAIN, c * CHAIN_LENGTH + s, slot)
+    push(TWEAK_TYPE_WOTS_PK, 0, slot)
+    for level in range(LOG_LIFETIME):
+        push(TWEAK_TYPE_MERKLE, level + 1, slot >> (level + 1))
+    assert len(table) == TWEAK_TABLE_SIZE
+    return table
+
+
+def compute_merkle_chunks(slot: int) -> list[int]:
+    """Public-input nibbles (compute_merkle_chunks_for_slot analog)."""
+    return [(slot >> (4 * j)) & 0xF for j in range(N_MERKLE_CHUNKS)]
+
+
+def compute_tweaks_hash(slot: int):
+    import numpy as np
+    from ..vm.poseidon_host import poseidon_compress_slice
+    return poseidon_compress_slice(
+        np.asarray(compute_tweak_table(slot), np.uint32), use_iv=True)
+
+
+def generate_guest(n_sigs: int) -> str:
     pub_len, msg_off, sig_base, sig_stride = public_input_layout(n_sigs)
     pub_len_padded = 1 << max((pub_len - 1).bit_length(), 0)
-    chain_base, merkle_base, zeros_base, pk_iv_base, _ = \
-        preamble_layout(pub_len_padded)
-    pow8_base = pk_iv_base + 4
-    ones_base = pow8_base + 8 * 5
-
-    chain_tweaks = [
-        [int(x) for x in make_tweak(TWEAK_TYPE_CHAIN,
-                                    c * CHAIN_LENGTH + s, slot)]
-        for c in range(V) for s in range(CHAIN_LENGTH)]
-    merkle_tweaks = [
-        [int(x) for x in make_tweak(TWEAK_TYPE_MERKLE, level + 1,
-                                    slot >> (level + 1))]
-        for level in range(LOG_LIFETIME)]
-    enc_tweak = [int(x) for x in make_tweak(TWEAK_TYPE_ENCODING, 0, slot)]
-    pk_tweak = [int(x) for x in make_tweak(TWEAK_TYPE_WOTS_PK, 0, slot)]
-    dir_bits = [(slot >> level) & 1 for level in range(LOG_LIFETIME)]
+    tweak_base, zeros_base, _ = preamble_layout(pub_len_padded)
 
     src = f'''
 N_SIGS = {n_sigs}
 V = {V}
-CHAIN_BASE = {chain_base}
-MERKLE_BASE = {merkle_base}
+TT = {tweak_base}
+TT_CHAINS = {tweak_base + TWEAK_CHAIN_OFF}
+TT_WOTS_PK = {tweak_base + TWEAK_WOTS_PK_OFF}
+TT_MERKLE = {tweak_base + TWEAK_MERKLE_OFF}
+TT_ENC = {tweak_base + TWEAK_ENCODING_OFF}
 ZEROS8 = {zeros_base}
-PK_IV = {pk_iv_base}
-POW8_EFS = {pow8_base}
-ONES_EFS = {ones_base}
-CHAIN_TWEAKS = {chain_tweaks!r}
-MERKLE_TWEAKS = {merkle_tweaks!r}
-ENC_TWEAK = {enc_tweak!r}
-PK_TWEAK = {pk_tweak!r}
-DIR_BITS = {dir_bits!r}
 TARGET_SUM = {TARGET_SUM}
+MC_OFF = {MERKLE_CHUNKS_OFF}
+TH_OFF = {TWEAKS_HASH_OFF}
 
 def main():
-    write_preamble()
+    pub = 0
+    for i in unroll(0, 8):
+        pub[ZEROS8 + i] = 0
+    hint_witness("tweak_table", TT)
+    check_tweak_table()
     for k in range(0, N_SIGS):
         verify_sig(k)
     return
 
-def write_preamble():
-    pre = 0
-    for c in unroll(0, V):
-        for s in unroll(0, 8):
-            e = c * 8 + s
-            pre[CHAIN_BASE + e * 4] = CHAIN_TWEAKS[e][0]
-            pre[CHAIN_BASE + e * 4 + 1] = CHAIN_TWEAKS[e][1]
-            pre[CHAIN_BASE + e * 4 + 2] = 0
-            pre[CHAIN_BASE + e * 4 + 3] = 0
-    for level in unroll(0, 32):
-        pre[MERKLE_BASE + level * 4] = MERKLE_TWEAKS[level][0]
-        pre[MERKLE_BASE + level * 4 + 1] = MERKLE_TWEAKS[level][1]
-        pre[MERKLE_BASE + level * 4 + 2] = 0
-        pre[MERKLE_BASE + level * 4 + 3] = 0
+def check_tweak_table():
+    """T-sponge (IV mode) over the hinted table == public tweaks_hash
+    (tweaks_hash binding, type_1_aggregation.rs:102-109)."""
+    pub = 0
+    cur: Mut = ZEROS8
+    for i in unroll(0, {TWEAK_TABLE_SIZE // 8 - 1}):
+        nxt = Array(8)
+        poseidon16_compress(cur, TT + i * 8, nxt)
+        cur = nxt
+    final = Array(8)
+    poseidon16_compress(cur, TT + {TWEAK_TABLE_SIZE - 8}, final)
     for i in unroll(0, 8):
-        pre[ZEROS8 + i] = 0
-    pre[PK_IV] = PK_TWEAK[0]
-    pre[PK_IV + 1] = PK_TWEAK[1]
-    pre[PK_IV + 2] = 0
-    pre[PK_IV + 3] = 0
-    for j in unroll(0, 8):
-        pre[POW8_EFS + j * 5] = 8 ** j
-        for t in unroll(1, 5):
-            pre[POW8_EFS + j * 5 + t] = 0
-    for j in unroll(0, V):
-        pre[ONES_EFS + j * 5] = 1
-        for t in unroll(1, 5):
-            pre[ONES_EFS + j * 5 + t] = 0
+        assert final[i] == pub[TH_OFF + i]
     return
 
 def verify_sig(k):
@@ -150,67 +173,85 @@ def verify_sig(k):
     first_right = Array(8)
     for i in unroll(0, 6):
         first_right[i] = rand[i]
-    first_right[6] = ENC_TWEAK[0]
-    first_right[7] = ENC_TWEAK[1]
+    first_right[6] = TT_ENC[0]
+    first_right[7] = TT_ENC[1]
     pre_comp = Array(8)
     poseidon16_compress({msg_off}, first_right, pre_comp)
     compressed = Array(8)
     poseidon16_compress(pre_comp, pp0, compressed)
 
-    # --- 3-bit limb decomposition with recomposition + range checks ---
-    limbs = Array(64)
-    hint_decompose_bits_xmss(limbs, compressed, 8, 3)
-    high = Array(8)
-    hint_witness("encoding_high", high)
-    for e in unroll(0, 8):
-        s5 = Array(5)
-        dot_product_be(limbs + e * 8, POW8_EFS, s5, 8)
-        for j in unroll(0, 8):
-            assert limbs[e * 8 + j] <= 7
-        assert high[e] <= 126
-        assert compressed[e] == s5[0] + high[e] * 16777216
+    # --- 6-bit pair-chunk decomposition + per-FE recomposition ---
+    chunks = Array({NUM_ENCODING_FE * CHUNKS_PER_FE})
+    hint_decompose_bits_xmss(chunks, compressed, {NUM_ENCODING_FE}, 6)
+    for i in unroll(0, {NUM_ENCODING_FE}):
+        for j in unroll(0, {CHUNKS_PER_FE}):
+            assert chunks[i * {CHUNKS_PER_FE} + j] <= 63
+        ps0 = chunks[i * {CHUNKS_PER_FE}] + chunks[i * {CHUNKS_PER_FE} + 1] * 64
+        ps1 = ps0 + chunks[i * {CHUNKS_PER_FE} + 2] * 4096
+        partial = ps1 + chunks[i * {CHUNKS_PER_FE} + 3] * 262144
+        # inv(2^24) = -127 mod p: remaining = (partial - fe) * 127
+        remaining = (partial - compressed[i]) * 127
+        assert remaining <= 126
 
-    t5 = Array(5)
-    dot_product_be(limbs, ONES_EFS, t5, V)
-    assert t5[0] == TARGET_SUM
-
-    # --- chain walks -> contiguous pk buffer ---
+    # --- paired chain walks -> contiguous pk buffer ---
     pk_buf = Array(V * 4)
-    for c in unroll(0, V):
-        steps = limbs[c]
-        match_range(steps, range(0, 8),
-                    lambda s: chain_walk(tips + c * 4, pp0, pk_buf + c * 4, c, s))
+    tsum0: Mut = 0
+    for i in unroll(0, {V // 2}):
+        s = match_range(chunks[i], range(0, 64),
+                        lambda n: chain_pair(tips + (2 * i) * 4,
+                                             pk_buf + (2 * i) * 4,
+                                             pp0, i, n))
+        tsum0 = tsum0 + s
+    assert tsum0 == TARGET_SUM
 
     # --- WOTS pk T-sponge (replacement mode) ---
     state = Array(8)
-    poseidon16_compress_hardcoded_left(pp, ZEROS8, state, PK_IV)
+    poseidon16_compress_hardcoded_left(pp, ZEROS8, state, TT_WOTS_PK)
     cur: Mut = state
     for i in unroll(0, {V // 2}):
         nxt = Array(8)
         poseidon16_compress(cur, pk_buf + i * 8, nxt)
         cur = nxt
 
-    # --- Merkle walk (constant directions; each hinted sibling lands
-    #     DIRECTLY in its children buffer, each level = one compress
-    #     writing into the next buffer's correct half) ---
-    ch0 = Array(8)
-    for i in unroll(0, 4):
-        ch0[i + DIR_BITS[0] * 4] = cur[i]
-    hint_witness("merkle_node", ch0 + (1 - DIR_BITS[0]) * 4)
-    ch: Mut = ch0
-    for level in unroll(0, 31):
-        nxt = Array(8)
-        poseidon16_compress_half_hardcoded_left(
-            pp, ch, nxt + DIR_BITS[level + 1] * 4, MERKLE_BASE + level * 4)
-        hint_witness("merkle_node", nxt + (1 - DIR_BITS[level + 1]) * 4)
-        ch = nxt
-    out = Array(4)
-    poseidon16_compress_half_hardcoded_left(
-        pp, ch, out, MERKLE_BASE + 31 * 4)
-    for i in unroll(0, 4):
-        assert out[i] == root[i]
+    # --- Merkle walk: 8 chunks of 4 levels, directions from the public
+    #     merkle_chunks nibbles (runtime slot) ---
+    st0 = Array(4)
+    match_range(pub[MC_OFF], range(0, 16),
+                lambda b: do_4_merkle(cur, st0, pp, 0, b))
+    st1 = Array(4)
+    match_range(pub[MC_OFF + 1], range(0, 16),
+                lambda b: do_4_merkle(st0, st1, pp, 1, b))
+    st2 = Array(4)
+    match_range(pub[MC_OFF + 2], range(0, 16),
+                lambda b: do_4_merkle(st1, st2, pp, 2, b))
+    st3 = Array(4)
+    match_range(pub[MC_OFF + 3], range(0, 16),
+                lambda b: do_4_merkle(st2, st3, pp, 3, b))
+    st4 = Array(4)
+    match_range(pub[MC_OFF + 4], range(0, 16),
+                lambda b: do_4_merkle(st3, st4, pp, 4, b))
+    st5 = Array(4)
+    match_range(pub[MC_OFF + 5], range(0, 16),
+                lambda b: do_4_merkle(st4, st5, pp, 5, b))
+    st6 = Array(4)
+    match_range(pub[MC_OFF + 6], range(0, 16),
+                lambda b: do_4_merkle(st5, st6, pp, 6, b))
+    # last chunk writes into the public root cells (write-once equality)
+    match_range(pub[MC_OFF + 7], range(0, 16),
+                lambda b: do_4_merkle(st6, root, pp, 7, b))
     return
 
+@inline
+def chain_pair(tips_a, out_a, pp0, i: Const, n: Const):
+    """Walk chains 2i and 2i+1; n = step_a + 8*step_b. Returns the
+    compile-time pair sum (xmss_aggregate.py chain_hash_pair)."""
+    raw_a = n % 8
+    raw_b = (n - raw_a) / 8
+    chain_walk(tips_a, pp0, out_a, 2 * i, raw_a)
+    chain_walk(tips_a + 4, pp0, out_a + 4, 2 * i + 1, raw_b)
+    return raw_a + raw_b
+
+@inline
 def chain_walk(tip, pp0, target, c: Const, s: Const):
     if s == 7:
         for i in unroll(0, 4):
@@ -220,10 +261,46 @@ def chain_walk(tip, pp0, target, c: Const, s: Const):
         for j in unroll(s, 6):
             nxt = Array(4)
             poseidon16_compress_half_hardcoded_left(
-                cur, pp0, nxt, CHAIN_BASE + (c * 8 + j) * 4)
+                cur, pp0, nxt, TT_CHAINS + (c * 8 + j) * 4)
             cur = nxt
         poseidon16_compress_half_hardcoded_left(
-            cur, pp0, target, CHAIN_BASE + (c * 8 + 6) * 4)
+            cur, pp0, target, TT_CHAINS + (c * 8 + 6) * 4)
+    return
+
+@inline
+def do_4_merkle(state_in, state_out, pp, j: Const, b: Const):
+    """4 Merkle levels 4j..4j+3; b = slot nibble (bits 4j..4j+3).
+    Placement convention: direction bit 0 -> current node is the LEFT
+    child (xmss/scheme.py:251-260). The incoming state is placed by bit
+    4j; each compress output by the NEXT bit; the last output is raw
+    (placed by the next chunk / written to the root)."""
+    b0 = b % 2
+    b1 = (b - b0) / 2 % 2
+    b2 = ((b - b0) / 2 - b1) / 2 % 2
+    b3 = (((b - b0) / 2 - b1) / 2 - b2) / 2
+
+    buf0 = Array(8)
+    for i in unroll(0, 4):
+        buf0[i + b0 * 4] = state_in[i]
+    hint_witness("xmss_merkle_node", buf0 + (1 - b0) * 4)
+
+    buf1 = Array(8)
+    poseidon16_compress_half_hardcoded_left(
+        pp, buf0, buf1 + b1 * 4, TT_MERKLE + (j * 4) * 4)
+    hint_witness("xmss_merkle_node", buf1 + (1 - b1) * 4)
+
+    buf2 = Array(8)
+    poseidon16_compress_half_hardcoded_left(
+        pp, buf1, buf2 + b2 * 4, TT_MERKLE + (j * 4 + 1) * 4)
+    hint_witness("xmss_merkle_node", buf2 + (1 - b2) * 4)
+
+    buf3 = Array(8)
+    poseidon16_compress_half_hardcoded_left(
+        pp, buf2, buf3 + b3 * 4, TT_MERKLE + (j * 4 + 2) * 4)
+    hint_witness("xmss_merkle_node", buf3 + (1 - b3) * 4)
+
+    poseidon16_compress_half_hardcoded_left(
+        pp, buf3, state_out, TT_MERKLE + (j * 4 + 3) * 4)
     return
 '''
     return src

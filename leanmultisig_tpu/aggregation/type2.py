@@ -132,15 +132,26 @@ def split_type_2(t2: Type2Proof, index: int, inner_builder,
                              outer_builder)
 
 
-def parse_type1_claim(public_input) -> tuple:
+def parse_type1_claim(public_input, slot: int | None = None) -> tuple:
     """Decode a type-1 public input into (n_sigs, message, per-signer
     (merkle_root, public_param)) — the claim each component attests to
-    (build_type1_input_data analog, type_1_aggregation.rs:162-185)."""
+    (build_type1_input_data analog, type_1_aggregation.rs:162-185).
+
+    When `slot` is given, the embedded merkle_chunks + tweaks_hash are
+    checked against it (the slot is a runtime input of the guest)."""
+    from .guest import compute_merkle_chunks, compute_tweaks_hash
     pub = [int(x) for x in public_input]
     n = pub[0]
     message = np.asarray(pub[1:9], np.uint32)
+    chunks = pub[9:17]
+    tweaks_hash = pub[17:25]
+    if slot is not None:
+        if chunks != compute_merkle_chunks(slot):
+            raise ProofError("merkle chunks do not match the slot")
+        if tweaks_hash != [int(x) for x in compute_tweaks_hash(slot)]:
+            raise ProofError("tweaks hash does not match the slot")
     signers = []
-    off = 9
+    off = 25
     for _ in range(n):  # 4-FE merkle root + 4-FE public param per signer
         root = np.asarray(pub[off:off + 4], np.uint32)
         pp_ = np.asarray(pub[off + 4:off + 8], np.uint32)

@@ -34,8 +34,9 @@ def test_guest_executes_with_real_signatures(setup):
     public_input, witness = build_witness(message, pub_keys, sigs)
     res = execute_bytecode(bc, public_input, witness)
     # 166 poseidons per signature: 2 encoding + 110 chain steps + 1 pk IV
-    # + 21 sponge chunks + 32 merkle levels
-    assert res.metadata["n_poseidons"] == 2 * 166
+    # + 21 sponge chunks + 32 merkle levels; plus 185 per proof for the
+    # tweak-table hash binding (runtime slot)
+    assert res.metadata["n_poseidons"] == 2 * 166 + 185
 
 
 def test_guest_rejects_invalid_signature(setup):
