@@ -129,7 +129,8 @@ def run_aggregation_benchmark(topology: AggregationTopology, builder,
                                          builder), reps)
             if verify:
                 verify_recursive(level_bc, obc, opub, oproof, builder,
-                                 log_memory, tlr, inner_pub_len)
+                                 log_memory, tlr, inner_pub_len,
+                                 input_data=md["input_data"])
             st = NodeStats("merge",
                            sum(s.n_xmss for s in next_children_stats(
                                level_stats, i, fan)), dt,

@@ -663,8 +663,18 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     body = g.source()
     pub_len = total_gkr * 5 + 15 + inner_public_len + n_alphas * 5
     total_pub = pub_len * n_proofs
-    pub_pot = 1 << (total_pub - 1).bit_length()
+    # DIGEST-COMPRESSED outer public input (type_2_aggregation.rs:93-163):
+    # the outer pub is the 8-FE T-sponge digest of the per-child claim
+    # segments; the segments themselves are hint-written into a fixed
+    # "input data" region and re-hashed in-circuit. The outer public
+    # input size is INDEPENDENT of the child count / signer count.
+    outer_pub_len = 8
+    pub_pot = 8
+    idata_base = pub_pot
+    idata_padded = -(-total_pub // 8) * 8
+    pre_base = idata_base + idata_padded
     zero_region = 5 * max(33, 8)  # zero EFs for ef_sum etc.
+    n_data_chunks = idata_padded // 8
     main_lines = ["    pre = 0",
                   "    pre[ONE_EF_PTR] = 1",
                   "    for _i in unroll(1, 5):",
@@ -675,8 +685,23 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
                   "        pre[POW2_EFS_PTR + _j * 5] = 2 ** _j",
                   "        for _k in unroll(1, 5):",
                   "            pre[POW2_EFS_PTR + _j * 5 + _k] = 0"]
+    # input data + digest binding (hash input_data -> == pub[0..8])
+    main_lines += [f"    for _i in unroll({total_pub}, {idata_padded}):",
+                   "        pre[IDATA + _i] = 0",
+                   '    hint_witness("input_data", IDATA)',
+                   "    _zs = Array(8)",
+                   "    for _i in unroll(0, 8):",
+                   "        _zs[_i] = 0",
+                   "    _h: Mut = _zs"]
+    for ci in range(n_data_chunks):
+        main_lines += [f"    _h{ci} = Array(8)",
+                       f"    poseidon16_compress(_h, IDATA + {ci * 8}, "
+                       f"_h{ci})",
+                       f"    _h = _h{ci}"]
+    main_lines += ["    for _i in unroll(0, 8):",
+                   "        assert _h[_i] == pre[_i]"]
     for i in range(n_proofs):
-        main_lines.append(f"    verify_child({i * pub_len})")
+        main_lines.append(f"    verify_child(IDATA + {i * pub_len})")
     main_lines.append("    return")
     header = f"""
 from fs_lib import *
@@ -687,18 +712,20 @@ from rec_helpers import *
 
 TLEN = {tlen}
 PUB_POT = {pub_pot}
-ONE_EF_PTR = {pub_pot}
-ZERO_EF_PTR = {pub_pot + 5}
-ZERO_EFS_PTR = {pub_pot + 5}
+IDATA = {idata_base}
+ONE_EF_PTR = {pre_base}
+ZERO_EF_PTR = {pre_base + 5}
+ZERO_EFS_PTR = {pre_base + 5}
 ZERO_REGION = {zero_region}
-POW2_EFS_PTR = {pub_pot + 5 + zero_region}
+POW2_EFS_PTR = {pre_base + 5 + zero_region}
 
 def main():
 """ + "\n".join(main_lines) + """
 
 def verify_child(pub):
 """
-    return header + body + "\n", total_pub, 5 + zero_region + 120
+    return (header + body + "\n", outer_pub_len,
+            idata_padded + 5 + zero_region + 120)
 
 
 class WStmt:

@@ -130,11 +130,11 @@ def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
         per_child.append((inner_public_input, logup, alphas, raw))
 
     raw0 = per_child[0][3]
-    guest_bc, pub_len, preamble_len = outer_guest_for_shape(
+    guest_bc, outer_pub_len, preamble_len = outer_guest_for_shape(
         inner_bc, log_memory, table_log_n_rows, len(pub0),
         int(raw0.transcript.size), len(children), inner_builder)
 
-    outer_pub = []
+    input_data = []
     hints = {"raw_transcript": [], "inner_public_input": [],
              "bytecode_value": [], "whir_leaf": [], "whir_path": []}
     bc_points = []
@@ -146,12 +146,12 @@ def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
             "children must share transcript shape"
         bc_point, bc_value = logup["bytecode_evaluation"]
         bc_points.append(bc_point)
-        outer_pub += ([int(x) for x in logup["gkr_point"].reshape(-1)]
-                      + [int(x) for x in logup["numerators_value"]]
-                      + [int(x) for x in logup["denominators_value"]]
-                      + [int(x) for x in bc_value]
-                      + [int(x) for x in inner_public_input]
-                      + [int(x) for x in alphas.reshape(-1)])
+        input_data += ([int(x) for x in logup["gkr_point"].reshape(-1)]
+                       + [int(x) for x in logup["numerators_value"]]
+                       + [int(x) for x in logup["denominators_value"]]
+                       + [int(x) for x in bc_value]
+                       + [int(x) for x in inner_public_input]
+                       + [int(x) for x in alphas.reshape(-1)])
         hints["raw_transcript"].append([int(x) for x in raw.transcript])
         hints["inner_public_input"].append(
             list(int(x) for x in inner_public_input)
@@ -161,7 +161,12 @@ def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
                                for op in raw.merkle_openings]
         hints["whir_path"] += [[int(x) for x in op.path.reshape(-1)]
                                for op in raw.merkle_openings]
-    assert len(outer_pub) == pub_len
+
+    # digest-compressed outer public input (type_2_aggregation.rs:93-163):
+    # pub = T-sponge digest of the zero-padded input data
+    outer_pub = [int(x) for x in input_data_digest(input_data)]
+    assert len(outer_pub) == outer_pub_len
+    hints["input_data"] = [list(input_data)]
 
     witness = ExecutionWitness(preamble_memory_len=preamble_len,
                                hints=hints)
@@ -170,15 +175,26 @@ def prove_aggregated(inner_bc, children, inner_builder, outer_builder):
     metadata["bc_points"] = bc_points
     metadata["n_children"] = len(children)
     metadata["inner_transcript_len"] = int(raw0.transcript.size)
+    metadata["input_data"] = input_data
     return guest_bc, outer_pub, outer_proof, metadata
+
+
+def input_data_digest(input_data: list):
+    """8-FE T-sponge (IV mode) digest over the zero-padded claim data."""
+    from ..vm.poseidon_host import poseidon_compress_slice
+    padded = list(input_data) + [0] * (-len(input_data) % 8)
+    return poseidon_compress_slice(np.asarray(padded, np.uint32),
+                                   use_iv=True)
 
 
 def verify_recursive(inner_bc, outer_bc, outer_public_input, outer_proof,
                      outer_builder, log_memory: int, table_log_n_rows: dict,
-                     inner_public_len: int):
+                     inner_public_len: int, input_data=None):
     """Verify an outer (recursive) proof:
       1. the outer ExecutionProof itself (for the generated guest);
-      2. the exposed bytecode claim against the ACTUAL inner bytecode —
+      2. digest binding: the outer public input is the 8-FE digest of
+         the claim `input_data` (supplied with the proof artifact);
+      3. the exposed bytecode claim against the ACTUAL inner bytecode —
          the one reduction the guest delegates to the host
          (bytecode_claims.rs:35-106 analog).
     The caller supplies the inner proof shape (it generated the guest).
@@ -186,12 +202,17 @@ def verify_recursive(inner_bc, outer_bc, outer_public_input, outer_proof,
     (one per child; a single list for the 1-child case)."""
     verify_execution(outer_bc, outer_public_input, outer_proof,
                      outer_builder)
+    if input_data is None:
+        raise ProofError("input_data required (digest-compressed claims)")
+    if [int(x) for x in outer_public_input] != \
+            [int(x) for x in input_data_digest(input_data)]:
+        raise ProofError("input data does not match the outer digest")
 
     tables_sorted = sort_tables_by_height(table_log_n_rows)
     total_gkr = (compute_total_active_len(
         log_memory, inner_bc.log_size(), tables_sorted) - 1).bit_length()
     seg_len = total_gkr * 5 + 15 + inner_public_len + N_ALPHAS * 5
-    pub = [int(x) for x in outer_public_input]
+    pub = [int(x) for x in input_data]
     assert len(pub) % seg_len == 0
     inner_pubs = []
     for base in range(0, len(pub), seg_len):

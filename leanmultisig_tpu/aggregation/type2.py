@@ -6,15 +6,13 @@ Reference: rec_aggregation/src/type_2_aggregation.rs —
   verify_type_2     (:165-176) -> rebuild per-component claims + verify
   split_type_2      (:194-258) -> re-prove ONE component standalone
 
-Design divergence from the reference (documented, intentional): the
-reference compresses each component's input data to a digest and proves a
-guest over the n digests, keeping the original type-1 buffers as hints
-for later splitting. Here the outer guest IS the full in-circuit verifier
-of each child (recursion_driver.prove_aggregated), and each child's
-complete public input is embedded in the outer public input — so
-verification recovers the components' claims directly instead of
-re-deriving digests, and splitting re-wraps the retained child proof
-alone (the `kept_type1_buff` analog is `Type2Proof.components`).
+Like the reference, the outer public input is DIGEST-COMPRESSED: a fixed
+8-FE T-sponge digest of the per-component claim data (`input_data`),
+independent of the total signer count; the claim data travels with the
+proof artifact and the guest re-hashes its hinted copy in-circuit.
+Splitting re-proves the retained child alone (the `kept_type1_buff`
+analog is `Type2Proof.components`; the reference's in-guest `is_split`
+path, type_2_aggregation.rs:194-258, is replaced by a re-wrap).
 """
 
 from __future__ import annotations
@@ -51,6 +49,8 @@ class Type2Proof:
     inner_public_len: int
     inner_transcript_len: int = 0
     n_children: int = 1
+    # claim data whose digest is the outer public input
+    input_data: list = field(default_factory=list)
     # retained children enabling split_type_2 (kept_type1_buff analog,
     # type_2_aggregation.rs:194-258)
     components: list = field(default_factory=list)
@@ -91,8 +91,9 @@ def merge_many_type_1(type1s: list, inner_builder,
                       log_memory, table_log_n_rows,
                       len(children[0][0]),
                       inner_transcript_len=md["inner_transcript_len"],
-                      n_children=len(children), components=list(type1s),
-                      metadata=md)
+                      n_children=len(children),
+                      input_data=list(md["input_data"]),
+                      components=list(type1s), metadata=md)
 
 
 def verify_type_2(t2: Type2Proof, inner_bytecode, inner_builder,
@@ -113,7 +114,7 @@ def verify_type_2(t2: Type2Proof, inner_bytecode, inner_builder,
     inner_pubs = verify_recursive(
         inner_bytecode, expected_bc, t2.outer_public_input,
         t2.outer_proof, outer_builder, t2.log_memory, t2.table_log_n_rows,
-        t2.inner_public_len)
+        t2.inner_public_len, input_data=t2.input_data)
     if t2.inner_public_len and not isinstance(inner_pubs[0], list):
         inner_pubs = [inner_pubs]  # single component
     return inner_pubs

@@ -39,9 +39,12 @@ BUS_SIGN = {"pull": -1, "push": 1}
 
 
 def prove_execution(bytecode, public_input, witness: ExecutionWitness,
-                    whir_config_builder):
+                    whir_config_builder, force_shape=None):
+    """force_shape: optional (log_memory, {table: log_rows}) padding the
+    proof to a FIXED shape (uniform/self-referential recursion: every
+    level must produce the same proof shape it verifies)."""
     import os
-    if os.environ.get("LMS_DPROVE") == "1":
+    if os.environ.get("LMS_DPROVE") == "1" and force_shape is None:
         # device-resident pipeline (transcript-identical; tests assert it)
         from ..dprover.dprove import prove_execution_dev
         return prove_execution_dev(bytecode, public_input, witness,
@@ -50,12 +53,18 @@ def prove_execution(bytecode, public_input, witness: ExecutionWitness,
     with span("execute"):
         result = execute_bytecode(bytecode, public_input, witness)
     with span("trace_gen"):
-        trace = get_execution_trace(bytecode, result)
+        trace = get_execution_trace(
+            bytecode, result,
+            force_log_rows=force_shape[1] if force_shape else None)
     traces = trace.traces
     memory = trace.memory
     metadata = trace.metadata
 
     min_memory_size = max(1 << MIN_LOG_MEMORY_SIZE, 1 << bytecode.log_size())
+    if force_shape is not None:
+        assert (1 << force_shape[0]) >= memory.shape[0],             ("forced memory too small", force_shape[0],
+             memory.shape[0].bit_length())
+        min_memory_size = max(min_memory_size, 1 << force_shape[0])
     if memory.shape[0] < min_memory_size:
         memory = np.concatenate(
             [memory,

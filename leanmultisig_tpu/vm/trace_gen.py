@@ -35,7 +35,8 @@ class ExecutionTrace:
 
 
 def get_execution_trace(bytecode: Bytecode,
-                        result: ExecutionResult) -> ExecutionTrace:
+                        result: ExecutionResult,
+                        force_log_rows: dict | None = None) -> ExecutionTrace:
     assert len(result.pcs) == len(result.fps)
     n_cycles = len(result.pcs)
     from .native_runner import NativeMemory
@@ -142,21 +143,27 @@ def get_execution_trace(bytecode: Bytecode,
 
     for table in ALL_TABLES:
         _pad_table(table, traces[table], padding_zero_vec_ptr, null_hash_ptr,
-                   bytecode.ending_pc)
+                   bytecode.ending_pc,
+                   (force_log_rows or {}).get(table))
 
     return ExecutionTrace(traces, result.public_memory_size, memory_np,
                           result.metadata)
 
 
 def _pad_table(table: str, trace: TableTrace, zero_vec_ptr: int,
-               null_hash_ptr: int, ending_pc: int) -> None:
+               null_hash_ptr: int, ending_pc: int,
+               force_log_rows: int | None = None) -> None:
     """Pad each table to 2^ceil(log2(h+1)) rows, min 2^8
-    (lean_prover/src/trace_gen.rs:170-193)."""
+    (lean_prover/src/trace_gen.rs:170-193). `force_log_rows` pads
+    further to a fixed height (uniform-shape recursion proofs)."""
     h = len(trace.columns[0])
     for i, col in enumerate(trace.columns):
         assert len(col) == h, (table, i)
     trace.non_padded_n_rows = h
     trace.log_n_rows = max(h.bit_length(), MIN_LOG_N_ROWS_PER_TABLE)
+    if force_log_rows is not None:
+        assert force_log_rows >= trace.log_n_rows,             (table, force_log_rows, trace.log_n_rows)
+        trace.log_n_rows = force_log_rows
     from .tables import MAX_LOG_N_ROWS
     if trace.log_n_rows > MAX_LOG_N_ROWS[table]:
         raise RunnerError(

@@ -36,21 +36,32 @@ def test_recursive_roundtrip():
     outer_bc, outer_pub, outer_proof, md = prove_recursively(
         bc, pub, proof, builder, builder)
     inner_pub = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
-                                 builder, log_memory, tlr, len(pub))
+                                 builder, log_memory, tlr, len(pub),
+                                 input_data=md["input_data"])
     assert inner_pub == pub
+    # the outer public input is a FIXED-SIZE digest of the claim data
+    assert len(outer_pub) == 8
 
-    # tampered outer public input (bytecode claim value) must fail
-    bad = list(outer_pub)
+    # tampered claim data (bytecode claim value) must fail the digest
+    # binding / bytecode check
     from leanmultisig_tpu.protocols.logup import (compute_total_active_len,
                                                   sort_tables_by_height)
     total_gkr = (compute_total_active_len(
         log_memory, bc.log_size(), sort_tables_by_height(tlr))
         - 1).bit_length()
     k = total_gkr * 5 + 10
+    bad = list(md["input_data"])
     bad[k] = (bad[k] + 1) % (2**31 - 2**24 + 1)
     with pytest.raises((ProofError, AssertionError)):
-        verify_recursive(bc, outer_bc, bad, outer_proof, builder,
-                         log_memory, tlr, len(pub))
+        verify_recursive(bc, outer_bc, outer_pub, outer_proof, builder,
+                         log_memory, tlr, len(pub), input_data=bad)
+    # ... and a digest recomputed over tampered data fails the outer FS
+    from leanmultisig_tpu.aggregation.recursion_driver import \
+        input_data_digest
+    bad_pub = [int(x) for x in input_data_digest(bad)]
+    with pytest.raises((ProofError, AssertionError)):
+        verify_recursive(bc, outer_bc, bad_pub, outer_proof, builder,
+                         log_memory, tlr, len(pub), input_data=bad)
 
 
 @slow
@@ -75,7 +86,8 @@ def test_two_child_aggregation_roundtrip():
         bc, children, builder, builder)
     assert md["n_children"] == 2
     inner_pubs = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
-                                  builder, log_memory, tlr, 3)
+                                  builder, log_memory, tlr, 3,
+                                  input_data=md["input_data"])
     assert inner_pubs == [[5, 6, 7], [9, 10, 11]]
 
 
@@ -110,7 +122,8 @@ def test_two_level_xmss_aggregation():
         bc, children, cfg, cfg)
     inner_pubs = verify_recursive(bc, outer_bc, outer_pub, outer_proof,
                                   cfg, log_memory, tlr,
-                                  len(children[0][0]))
+                                  len(children[0][0]),
+                                  input_data=md["input_data"])
     assert len(inner_pubs) == 2
     assert inner_pubs[0] == [int(x) for x in children[0][0]]
     assert inner_pubs[1] == [int(x) for x in children[1][0]]
