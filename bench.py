@@ -78,7 +78,7 @@ def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
 
     # min-of-N timing: the shared host shows bursty multi-second steal
     # windows; the fastest rep reflects the prover, not the neighbors
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     dt = float("inf")
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
@@ -108,9 +108,9 @@ def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
 
 
 def main() -> None:
-    # 47 signatures fill the 2^16-row execution table exactly
-    # (1697 fixed + 1332/sig cycles): best table occupancy per proof.
-    n_sigs = int(os.environ.get("BENCH_N_SIGS", "47"))
+    # 70 signatures fill the 2^16-row execution table exactly
+    # (118 fixed + 932/sig cycles): best table occupancy per proof.
+    n_sigs = int(os.environ.get("BENCH_N_SIGS", "70"))
     import jax
     jax.config.update(
         "jax_compilation_cache_dir",
