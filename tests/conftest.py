@@ -31,3 +31,15 @@ os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+# XLA:CPU JIT-loads each compiled kernel as several mmaps; the device-
+# prover suite compiles hundreds of kernels and exhausts the default
+# vm.max_map_count=65530 ("LLVM compilation error: Cannot allocate
+# memory" followed by SIGSEGV). Raise it when we can (root on linux).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1 << 20:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write(str(1 << 22))
+except (OSError, PermissionError):
+    pass
