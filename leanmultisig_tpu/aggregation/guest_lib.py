@@ -378,6 +378,96 @@ def ef_eval_coeffs(coeffs, point, out, k: Const):
 '''
 
 
+CLAIMS_LIB = '''
+def claim_hash_one(p, n_vars: Const):
+    """T-sponge (no IV) over one PADDED flat bytecode claim
+    (poseidon_compress_slice use_iv=False, utils/src/poseidon.rs:41-70):
+    first compress over the first two chunks, then a [h | chunk] chain."""
+    h0 = Array(8)
+    poseidon16_compress(p, p + 8, h0)
+    cur: Mut = h0
+    for j in unroll(2, div_ceil((n_vars + 1) * DIM, 8)):
+        nxt = Array(8)
+        poseidon16_compress(cur, p + j * 8, nxt)
+        cur = nxt
+    return cur
+
+def assert_claim_padding(p, n_vars: Const):
+    """The zero padding of a flat claim is part of what gets hashed —
+    constrain it (main.py reduce_bytecode_claims padding asserts)."""
+    size = (n_vars + 1) * DIM
+    for k in unroll(size, div_ceil(size, 8) * 8):
+        assert p[k] == 0
+    return
+
+def reduce_claims_check(claims_ptrs, n_claims, rt, out_point, out_value,
+                        n_vars: Const):
+    """In-circuit verifier of the bytecode-claim reduction product
+    sumcheck (reference guest: main.py reduce_bytecode_claims; host
+    prover: aggregation/claims.py reduce_claims).
+
+    claims_ptrs: array of n_claims (runtime) POINTERS to padded flat
+    claims [(n_vars+1)*5 | zero pad]; rt: pointer to the hinted
+    reduction raw transcript; writes the reduced claim into
+    out_point (n_vars*5 cells) / out_value (5 cells).
+    """
+    # 1. running hash over the claims (hash_bytecode_claims)
+    rh: Mut = ZERO_EFS_PTR
+    for i in range(0, n_claims):
+        p = claims_ptrs[i]
+        assert_claim_padding(p, n_vars)
+        ch = claim_hash_one(p, n_vars)
+        nh = Array(8)
+        poseidon16_compress(rh, ch, nh)
+        rh = nh
+
+    # 2. the reduction transcript's own Fiat-Shamir
+    fs = fs_new(rt)
+    received = fs[16]
+    fs2 = fs_observe_transcript(fs, 1)
+    for k in unroll(0, 8):
+        assert received[k] == rh[k]
+    alpha = fs2 + 8
+
+    # 3. alpha powers + claimed sum = sum alpha^i * value_i
+    apw = Array(n_claims * DIM)
+    ef_copy(ONE_EF_PTR, apw)
+    for i in range(1, n_claims):
+        ef_mul(apw + (i - 1) * DIM, alpha, apw + i * DIM)
+    csum: Mut = ZERO_EF_PTR
+    for i in range(0, n_claims):
+        p = claims_ptrs[i]
+        t = Array(DIM)
+        ef_mul(p + n_vars * DIM, apw + i * DIM, t)
+        ns = Array(DIM)
+        ef_add(csum, t, ns)
+        csum = ns
+
+    # 4. sumcheck rounds (degree 2 -> 3 coefficients per round)
+    target: Mut = csum
+    fsx: Mut = fs2
+    for rnd in unroll(0, n_vars):
+        fsx, target, r = sumcheck_round(fsx, target, 3)
+        ef_copy(r, out_point + rnd * DIM)
+    # full-consumption check (claims.py reduction_transcript_len)
+    assert fsx[16] == rt + 8 + n_vars * 16
+
+    # 5. w(r) = sum alpha^i * eq(point_i, r); value = target / w(r)
+    wr: Mut = ZERO_EF_PTR
+    for i in range(0, n_claims):
+        p = claims_ptrs[i]
+        eqv = Array(DIM)
+        poly_eq_ee(p, out_point, eqv, n_vars)
+        t = Array(DIM)
+        ef_mul(eqv, apw + i * DIM, t)
+        nw = Array(DIM)
+        ef_add(wr, t, nw)
+        wr = nw
+    ef_div(target, wr, out_value)
+    return
+'''
+
+
 def resolve_guest_lib(module: str) -> str:
     if module == "fs_lib":
         return FS_LIB
@@ -387,6 +477,8 @@ def resolve_guest_lib(module: str) -> str:
         return GKR_LIB
     if module == "whir_lib":
         return WHIR_LIB
+    if module == "claims_lib":
+        return CLAIMS_LIB
     if module == "rec_helpers":
         from .recursion import HELPERS
         return HELPERS

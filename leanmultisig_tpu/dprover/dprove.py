@@ -40,6 +40,17 @@ def _jax():
     return jax, jnp
 
 
+def _dprof_sync(ps) -> None:
+    """When LMS_DPROF=1, block on the challenger state at span close so
+    the span wall time includes the device work queued by the phase
+    (dispatch is otherwise fully async; all device time would land in
+    finalize). Profiling only — syncing breaks pipelining."""
+    import os
+    if os.environ.get("LMS_DPROF"):
+        jax, _ = _jax()
+        jax.block_until_ready(ps.challenger.state)
+
+
 @functools.cache
 def _concat_fn(n_parts: int, total: int):
     jax, jnp = _jax()
@@ -179,6 +190,7 @@ def prove_execution_dev(bytecode, public_input, witness: ExecutionWitness,
         global_poly = _concat_fn(len(parts), 1 << stacked_n_vars)(parts)
         config = WhirConfig(whir_config_builder, stacked_n_vars)
         stacked_witness = commit_dev(config, ps, global_poly, offset)
+        _dprof_sync(ps)
 
     # ---- logup (GKR) ------------------------------------------------------
     logup_c = ps.sample()
@@ -192,6 +204,7 @@ def prove_execution_dev(bytecode, public_input, witness: ExecutionWitness,
             ps, logup_c, logup_alphas_eq, memory_d, memory_acc_d,
             bc_cols_d, bytecode_acc_d, trace_cols_d, table_log_n_rows,
             log_bytecode)
+        _dprof_sync(ps)
     gkr_point = logup["gkr_point"]
     committed_statements = {
         t: [(gkr_point[-traces[t].log_n_rows:],
@@ -224,6 +237,7 @@ def prove_execution_dev(bytecode, public_input, witness: ExecutionWitness,
     with span("air_sumcheck"):
         sumcheck_air_point = prove_batched_air_sumcheck_dev(ps, sessions,
                                                             air_eta)
+        _dprof_sync(ps)
 
     for idx, (table, _) in enumerate(tables_sorted):
         from ..air.tables_air import TABLE_AIRS
@@ -261,6 +275,7 @@ def prove_execution_dev(bytecode, public_input, witness: ExecutionWitness,
     with span("whir_open"):
         open_dev(config, ps, global_statements, stacked_witness,
                  global_poly)
+        _dprof_sync(ps)
 
     with span("finalize"):
         proof = ps.finalize()

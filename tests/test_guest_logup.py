@@ -72,22 +72,30 @@ def test_guest_verifies_inner_logup():
     guest_bc = compile_program(src, import_resolver=resolve_guest_lib)
 
     bc_point, bc_value = logup["bytecode_evaluation"]
-    outer_pub = ([int(x) for x in logup["gkr_point"].reshape(-1)]
-                 + [int(x) for x in logup["numerators_value"]]
-                 + [int(x) for x in logup["denominators_value"]]
-                 + [int(x) for x in bc_value]
-                 + list(public_input)
-                 + [int(x) for x in alphas.reshape(-1)])
-    assert len(outer_pub) == pub_len
+    # digest-compressed outer public input: the claim segment is hinted
+    # into the guest's IDATA region and re-hashed in-circuit; the outer
+    # pub is the 8-FE digest (type_2_aggregation.rs:93-163 analog)
+    from leanmultisig_tpu.aggregation.recursion_driver import \
+        input_data_digest
+    input_data = ([int(x) for x in logup["gkr_point"].reshape(-1)]
+                  + [int(x) for x in logup["numerators_value"]]
+                  + [int(x) for x in logup["denominators_value"]]
+                  + [int(x) for x in bc_value]
+                  + list(public_input)
+                  + [int(x) for x in alphas.reshape(-1)])
+    outer_pub = [int(x) for x in input_data_digest(input_data)]
+    assert len(outer_pub) == pub_len == 8
 
     pub_pad = -(-len(public_input) // 8) * 8
     inner_pub_padded = list(public_input) + [0] * (pub_pad - len(public_input))
 
-    def witness(transcript, bval=None):
+    def witness(transcript, bval=None, idata=None):
         return ExecutionWitness(
             preamble_memory_len=preamble_len,
             hints={"raw_transcript": [[int(x) for x in transcript]],
                    "inner_public_input": [inner_pub_padded],
+                   "input_data": [list(idata if idata is not None
+                                       else input_data)],
                    "bytecode_value": [[int(x) for x in
                                        (bval if bval is not None
                                         else bc_value)]],
@@ -131,9 +139,12 @@ def test_guest_verifies_inner_logup():
         execute_bytecode(guest_bc, outer_pub,
                          witness(raw.transcript, bad_bval))
 
-    # tamper: wrong claimed num in the outer public input must fail
-    bad_pub = list(outer_pub)
+    # tamper: wrong claimed num in the hinted claim data must fail (the
+    # digest binding catches it even when the digest is recomputed)
+    bad_idata = list(input_data)
     k = len(logup["gkr_point"].reshape(-1))
-    bad_pub[k] = (bad_pub[k] + 1) % P
+    bad_idata[k] = (bad_idata[k] + 1) % P
+    bad_pub = [int(x) for x in input_data_digest(bad_idata)]
     with pytest.raises((RunnerError, AssertionError)):
-        execute_bytecode(guest_bc, bad_pub, witness(raw.transcript))
+        execute_bytecode(guest_bc, bad_pub,
+                         witness(raw.transcript, idata=bad_idata))
