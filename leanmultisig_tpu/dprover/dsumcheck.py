@@ -141,6 +141,109 @@ def _post_round_fn():
     return post
 
 
+@functools.cache
+def _fused_product_rounds_fn(k: int, pow_bits: int, base_evals: bool,
+                             grind_batch: int):
+    """k product-sumcheck rounds (+ optional pow grinding per round) as
+    ONE jitted dispatch with the FS sponge threaded through the trace —
+    the round/absorb/grind/sample/fold sequence is identical to the
+    unfused path, so the transcript is bit-exact (see dgkr fused layer
+    for the rationale: tunnel dispatch overhead)."""
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    from ..poseidon import perm
+    from .dfs import CAPACITY, RATE, WIDTH, _observe_chunks_fn
+
+    def observe(state, flat):
+        n = int(flat.shape[0])
+        n_chunks = -(-n // RATE)
+        if n_chunks * RATE > n:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(n_chunks * RATE - n, jnp.uint32)])
+        return _observe_chunks_fn(n_chunks)(state, flat)
+
+    big = np.uint32(0xFFFFFFFF)
+    mask = np.uint32((1 << pow_bits) - 1) if pow_bits else np.uint32(0)
+
+    def grind(capacity_m):
+        """(dfs._grind_fn body — deterministic min witness)."""
+        def cond(carry):
+            _, hit = carry
+            return hit == big
+
+        def body(carry):
+            base, _ = carry
+            idx = base + jnp.arange(grind_batch, dtype=jnp.uint32)
+            states = jnp.zeros((grind_batch, WIDTH), jnp.uint32)
+            states = states.at[:, :CAPACITY].set(capacity_m[None, :])
+            states = states.at[:, CAPACITY].set(jf.from_u32(idx))
+            out = jf.to_u32(perm.permute(states)[:, CAPACITY])
+            ok = (out & mask) == 0
+            cand = jnp.where(ok, idx, big)
+            return base + np.uint32(grind_batch), jnp.min(cand)
+
+        _, witness = jax.lax.while_loop(
+            cond, body, (jnp.uint32(0), jnp.asarray(big)))
+        return witness
+
+    def product_round(evals, weights, sum_):
+        half = evals.shape[0] // 2
+        x0, x1 = evals[:half], evals[half:]
+        y0, y1 = weights[:half], weights[half:]
+        if evals.ndim == 1:
+            c0 = jf.escalar_mul(y0, x0)
+            c2 = jf.escalar_mul(jf.esub(y1, y0), jf.sub(x1, x0))
+        else:
+            c0 = jf.emul(y0, x0)
+            c2 = jf.emul(jf.esub(y1, y0), jf.esub(x1, x0))
+        c0 = jf.sum_mod(c0, 0)
+        c2 = jf.sum_mod(c2, 0)
+        c1 = jf.esub(jf.esub(sum_, jf.eadd(c0, c0)), c2)
+        return jnp.stack([c0, c1, c2])
+
+    @jax.jit
+    def run(state, evals, weights, sum_):
+        tparts = []
+        challenges = []
+        for _ in range(k):
+            coeffs = product_round(evals, weights, sum_)
+            state = observe(state, coeffs.reshape(-1))
+            tparts.append(jf.to_u32(coeffs[1:].reshape(-1)))
+            if pow_bits:
+                witness = grind(state[:CAPACITY])
+                state = observe(state, jf.from_u32(witness)[None])
+                tparts.append(witness[None])
+            r = state[CAPACITY:CAPACITY + EXT]
+            challenges.append(r)
+            acc = coeffs[-1]
+            for i in range(int(coeffs.shape[0]) - 2, -1, -1):
+                acc = jf.eadd(jf.emul(acc, r), coeffs[i])
+            sum_ = acc
+            evals, weights = dpoly.dfold([evals, weights], r)
+        return (state, jnp.concatenate(tparts), jnp.stack(challenges),
+                evals, weights, sum_)
+
+    return run
+
+
+def fused_product_rounds(prover_state, evals, weights, sum_, k: int,
+                         pow_bits: int, grind_batch: int = 1 << 15):
+    """Run k product-sumcheck rounds through the fused kernel, updating
+    the DevProverState exactly as the unfused path would."""
+    if k == 0:
+        _, jnp = _jax()
+        return (jnp.zeros((0, EXT), jnp.uint32), evals, weights, sum_)
+    state, blob, challenges, evals, weights, sum_ = _fused_product_rounds_fn(
+        k, pow_bits, evals.ndim == 1, grind_batch)(
+        prover_state.challenger.state, evals, weights, sum_)
+    prover_state.challenger.state = state
+    prover_state.challenger.rate_fresh = False
+    prover_state.transcript.append(blob)
+    if pow_bits:
+        prover_state.grind_bits_used.extend([pow_bits] * k)
+    return challenges, evals, weights, sum_
+
+
 def sumcheck_prove_dev(columns, comp_key, extra, eq_factor, prover_state,
                        sum_, n_rounds=None, pow_bits=0, missing=None,
                        degree=None):

@@ -20,7 +20,7 @@ from ..whir.config import WhirConfig
 from . import dpoly
 from .ddft import reorder_and_dft_dev
 from .dmerkle import DevMerkleTree
-from .dsumcheck import sumcheck_prove_dev
+from .dsumcheck import fused_product_rounds
 
 EXT = 5
 
@@ -217,6 +217,40 @@ def _add_full_fn():
     return jax.jit(jf.eadd)
 
 
+@functools.cache
+def _stir_equality_fn(n: int, q: int):
+    """weights += sum_i gamma^i eq(expand(s_i), .); sum += gamma^i ev_i
+    over all q STIR queries in one dispatch (lax.scan over queries; the
+    gamma-scaled eq table of the base-scalar point [s, s^2, s^4, ...] is
+    built by seeded doubling, identical to deval_eq's order)."""
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def run(weights, sum_, gen_vals, stir_evals, gamma, gamma_pow0):
+        def step(carry, inp):
+            w, s_, gpow = carry
+            s, ev = inp
+            out = gpow[None, :]
+            sj = s
+            for v in range(n):
+                hi = jf.escalar_mul(out, jnp.broadcast_to(
+                    sj, (out.shape[0],)))
+                lo = jf.esub(out, hi)
+                out = jnp.stack([lo, hi], axis=1).reshape(-1, EXT)
+                if v + 1 < n:
+                    sj = jf.mul(sj, sj)
+            w = jf.eadd(w, out)
+            s_ = jf.eadd(s_, jf.emul(ev, gpow))
+            return (w, s_, jf.emul(gpow, gamma)), None
+
+        (weights, sum_, _), _ = jax.lax.scan(
+            step, (weights, sum_, gamma_pow0), (gen_vals, stir_evals))
+        return weights, sum_
+
+    return run
+
+
 def _emul_add_full(weights, block):
     return _add_full_fn()(weights, block)
 
@@ -308,15 +342,15 @@ class _DevSumcheckState:
         self.sum = sum_
 
     def run_rounds(self, prover_state, n_rounds: int, pow_bits: int):
-        challenges, (self.evals, self.weights), self.sum = \
-            sumcheck_prove_dev([self.evals, self.weights], "product", None,
-                               None, prover_state, self.sum,
-                               n_rounds=n_rounds, pow_bits=pow_bits)
+        challenges, self.evals, self.weights, self.sum = \
+            fused_product_rounds(prover_state, self.evals, self.weights,
+                                 self.sum, n_rounds, pow_bits)
         return challenges
 
     def add_new_equality(self, points, evaluations, comb_gamma, n_comb):
         """points: list of (n,5) dev; evaluations: list of (5,) dev;
-        randomness = successive powers of comb_gamma (1, g, g^2, ...)."""
+        randomness = successive powers of comb_gamma (1, g, g^2, ...).
+        Returns the next gamma power (to continue the sequence)."""
         jax, jnp = _jax()
         from ..field import jnp_field as jf
         gamma_pow = jnp.asarray(dpoly.eone_m())
@@ -325,6 +359,20 @@ class _DevSumcheckState:
             self.weights = _add_full_fn()(self.weights, block)
             self.sum, gamma_pow = _sum_update_fn()(self.sum, ev, gamma_pow,
                                                    comb_gamma)
+        return gamma_pow
+
+    def add_stir_equalities(self, gen_vals, stir_evals, comb_gamma,
+                            gamma_pow):
+        """Batched STIR equality accumulation: the q query points are
+        expand_from_univariate(g^idx) with BASE scalars, so all q
+        gamma-scaled eq tables + the sum update run as ONE fused scan
+        (the per-point loop was ~3 dispatches x ~100 queries per WHIR
+        round — the dominant dispatch cost of the opening phase)."""
+        n = int(self.weights.shape[0]).bit_length() - 1
+        q = int(gen_vals.shape[0])
+        self.weights, self.sum = _stir_equality_fn(n, q)(
+            self.weights, self.sum, gen_vals, stir_evals, comb_gamma,
+            gamma_pow)
 
 
 def open_dev(config: WhirConfig, prover_state, statements: list,
@@ -392,12 +440,6 @@ def open_dev(config: WhirConfig, prover_state, statements: list,
             for i in range(int(ood_points.shape[0]))]
         gen_vals = domain_gen_powers_dev(stir_indexes, next_domain_gen_log,
                                          fd_bits)
-        stir_challenges = []
-        for i in range(round_params.num_queries):
-            base_scalar = jnp.concatenate(
-                [gen_vals[i][None], jnp.zeros(4, jnp.uint32)])
-            stir_challenges.append(dpoly.dexpand_from_univariate(
-                base_scalar, num_variables))
 
         k_this = config.folding_factor.at_round(round_index)
         folding_randomness = jnp.stack(randomness_vec[-k_this:])
@@ -411,12 +453,12 @@ def open_dev(config: WhirConfig, prover_state, statements: list,
 
         prover_state.duplex()
         comb_gamma = prover_state.sample()
-        n_comb = len(ood_challenges) + len(stir_challenges)
-        state.add_new_equality(
-            ood_challenges + stir_challenges,
-            [ood_answers[i] for i in range(int(ood_answers.shape[0]))]
-            + [stir_evals[i] for i in range(round_params.num_queries)],
-            comb_gamma, n_comb)
+        gamma_pow = state.add_new_equality(
+            ood_challenges,
+            [ood_answers[i] for i in range(int(ood_answers.shape[0]))],
+            comb_gamma, len(ood_challenges))
+        state.add_stir_equalities(gen_vals, stir_evals, comb_gamma,
+                                  gamma_pow)
 
         next_challenges = state.run_rounds(prover_state, folding_factor_next,
                                            round_params.folding_pow_bits)
