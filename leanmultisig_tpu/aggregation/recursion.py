@@ -419,7 +419,8 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
                             tlen: int, air_section: bool = False,
                             whir_config_builder=None,
                             ending_pc: int | None = None,
-                            n_proofs: int = 1) -> tuple:
+                            n_proofs: int = 1,
+                            self_ref: bool = False) -> tuple:
     """Guest source verifying FS init + commitment parse + the full logup
     section of an inner proof (mirrors prover/verify.py:34-99 +
     protocols/logup.py verify_generic_logup, shapes compile-time).
@@ -434,6 +435,17 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     public-input segment) — the type-1 aggregation structure
     (rec_aggregation/type_1_aggregation.rs analog). outer_public_len is
     then the TOTAL over children.
+
+    self_ref=True instead emits ONLY a function
+    `verify_child(inner_pub, domsep, out_claim)` for the unified
+    self-referential program (compilation.rs:36-98 architecture):
+      * inner_pub: pointer to the child's 8-FE digest public input;
+      * domsep: pointer to the 8-FE bytecode-hash domain separator,
+        a RUNTIME value read from the node's own input data — the
+        bytecode never embeds its own hash;
+      * out_claim: (log_bytecode + 4 + 1) * 5 cells receiving the
+        delegated bytecode claim [point | value] for claim reduction.
+    Returns (source, total_gkr) in that mode.
     """
     assert commitment_ood_samples >= 1
     g = GuestEmitter()
@@ -452,21 +464,30 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
     pm_pot = (1 if inner_public_len <= 1
               else 1 << (inner_public_len - 1).bit_length())
     pub_buf = max(pub_pad, pm_pot)
-    g.emit(f"inner_pub = Array({pub_buf})")
-    g.emit('hint_witness("inner_public_input", inner_pub)')
-    for i in range(inner_public_len, pub_buf):
-        g.emit(f"assert inner_pub[{i}] == 0")
-    g.emit("t = Array(TLEN)")
-    g.emit('hint_witness("raw_transcript", t)')
+    if self_ref:
+        assert inner_public_len == 8 and n_proofs == 1
+        g.emit("t = Array(TLEN)")
+        g.emit('hint_witness("raw_transcript", t)')
+        g.emit("fs0 = fs_new(t)")
+        g.emit("fs1 = fs_absorb_chunks(fs0, inner_pub, 1, fs0[16])")
+        g.emit("fs2 = fs_absorb_chunks(fs1, domsep, 1, fs1[16])")
+    else:
+        g.emit(f"inner_pub = Array({pub_buf})")
+        g.emit('hint_witness("inner_public_input", inner_pub)')
+        for i in range(inner_public_len, pub_buf):
+            g.emit(f"assert inner_pub[{i}] == 0")
+        g.emit("t = Array(TLEN)")
+        g.emit('hint_witness("raw_transcript", t)')
 
-    # --- FS init (prover/verify.py:34-44) ---------------------------------
-    g.emit("fs0 = fs_new(t)")
-    n_pub_chunks = pub_pad // 8
-    g.emit(f"fs1 = fs_absorb_chunks(fs0, inner_pub, {n_pub_chunks}, fs0[16])")
-    g.emit("domsep = Array(8)")
-    for i, v in enumerate(bytecode_hash_domsep):
-        g.emit(f"domsep[{i}] = {int(v)}")
-    g.emit("fs2 = fs_absorb_chunks(fs1, domsep, 1, fs1[16])")
+        # --- FS init (prover/verify.py:34-44) ------------------------------
+        g.emit("fs0 = fs_new(t)")
+        n_pub_chunks = pub_pad // 8
+        g.emit(f"fs1 = fs_absorb_chunks(fs0, inner_pub, {n_pub_chunks}, "
+               "fs0[16])")
+        g.emit("domsep = Array(8)")
+        for i, v in enumerate(bytecode_hash_domsep):
+            g.emit(f"domsep[{i}] = {int(v)}")
+        g.emit("fs2 = fs_absorb_chunks(fs1, domsep, 1, fs1[16])")
 
     # dims chunk: 6 values (+2 pad) read from transcript, bound to consts
     g.emit("dims_ptr = fs2[16]")
@@ -642,6 +663,24 @@ def generate_logup_verifier(log_memory: int, log_bytecode: int,
                            ending_pc, col_vals, air_info, read_ef_group,
                            (v_mem, v_mem_acc, v_bc_acc))
         g.emit("assert fsv[16] == t + TLEN")
+
+    if self_ref:
+        # --- write the delegated bytecode claim for claim reduction -------
+        # point = gkr-point bytecode suffix ++ the logup alphas
+        # (recursion_driver verify path: bc_point construction)
+        assert n_alphas == log_instr
+        for i in range(log_bytecode):
+            g.emit(f"ef_copy(gpoint + {(total_gkr - log_bytecode + i) * 5}, "
+                   f"out_claim + {i * 5})")
+        for i in range(n_alphas):
+            g.emit(f"ef_copy(alphas + {i * 5}, "
+                   f"out_claim + {(log_bytecode + i) * 5})")
+        g.emit(f"ef_copy(bval, out_claim + {(log_bytecode + n_alphas) * 5})")
+        g.emit("return")
+        body = g.source()
+        src = ("def verify_child(inner_pub, domsep, out_claim):\n"
+               + body + "\n")
+        return src, total_gkr
 
     # --- expose gkr point + claims + bytecode value via public input ------
     g.emit(f"for _i in unroll(0, {total_gkr * 5}):")

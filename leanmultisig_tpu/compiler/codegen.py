@@ -844,6 +844,12 @@ class FnCompiler:
                  f"{du}_bits = Array({n_bits})",
                  f"hint_decompose_bits({du}_d, {du}_bits, {n_bits})",
                  f"{du}_sum: Mut = 0"]
+        # pre-seed body-local names: every gated chunk is an if-arm, and
+        # a skipped first chunk would otherwise phi-copy an UNDEFINED
+        # prior value of a name first assigned inside the body
+        for name in sorted(self._collect_assigned(stmt.body)):
+            if name != var and name not in self.env:
+                lines.append(f"{name} = 0")
         for jj in range(n_bits):
             w = 1 << (n_bits - 1 - jj)
             lines.append(f"{du}_b{jj} = {du}_bits[{jj}]")

@@ -183,7 +183,13 @@ static inline int mem_set(Mem *m, long idx, uint32_t v) {
         if (rc) return rc;
     }
     v %= P;
-    if (m->def[idx]) return m->vals[idx] == v ? OK : ERR_WRITE_TWICE;
+    if (m->def[idx]) {
+        if (m->vals[idx] == v) return OK;
+        if (getenv("LMS_VM_DEBUG"))
+            fprintf(stderr, "[vmrunner] WRITE_TWICE idx=%ld old=%u new=%u\n",
+                    idx, m->vals[idx], v);
+        return ERR_WRITE_TWICE;
+    }
     m->vals[idx] = v;
     m->def[idx] = 1;
     if (idx > m->max_set) m->max_set = idx;
