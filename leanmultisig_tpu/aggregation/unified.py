@@ -226,12 +226,82 @@ def verify_type2(data, own_domsep):
 
 
 def verify_type1(data, own_domsep):
+    n_sigs = data[1]
+    assert n_sigs != 0
+    assert n_sigs - 1 < MAX_N_SIGS
+    is_split = Array(1)
+    hint_witness("is_split", is_split)
+    if is_split[0] == 1:
+        verify_split(data, own_domsep)
+    else:
+        assert is_split[0] == 0
+        verify_type1_general(data, own_domsep)
+    return
+
+
+def verify_split(data, own_domsep):
+    # type-1 split: extract component `kept` from a type-2 proof
+    # (main.py:75-108 is_split path). The node's own T1 statement fields
+    # must EQUAL the kept component's (bound through its digest inside
+    # the verified type-2 input data).
+    pub = 0
+    meta2 = Array(2)
+    hint_witness("type2_meta", meta2)
+    n_components = meta2[0]
+    kept = meta2[1]
+    assert n_components != 0
+    assert n_components <= MAX_RECURSIONS
+    assert kept < n_components
+
+    t2 = Array(COMPONENT_OFF + 8 * n_components)
+    hint_witness("inner_type2_layout", t2)
+    assert t2[0] == {TYPE_2_FLAG}
+    assert t2[1] == n_components
+    for _k in unroll(2, 8):
+        assert t2[_k] == 0
+    for _k in unroll(0, 8):
+        assert t2[DOMSEP_OFF + _k] == own_domsep[_k]
+    for _k in unroll(CLAIM_SIZE, CLAIM_PADDED):
+        assert t2[CLAIM_OFF + _k] == 0
+
+    kept_buf = Array(T1_SIZE)
+    hint_witness("kept_type1_buff", kept_buf)
+    assert kept_buf[0] == {TYPE_1_FLAG}
+    assert kept_buf[1] == data[1]
+    for _k in unroll(2, 8):
+        assert kept_buf[_k] == 0
+    for _k in unroll(0, 8):
+        assert kept_buf[DOMSEP_OFF + _k] == own_domsep[_k]
+    for _k in unroll(0, 32):
+        assert kept_buf[COMPONENT_OFF + _k] == data[COMPONENT_OFF + _k]
+    for _k in unroll(CLAIM_SIZE, CLAIM_PADDED):
+        assert kept_buf[CLAIM_OFF + _k] == 0
+    dig_kept = slice_hash_iv(kept_buf, T1_CHUNKS)
+    for _k in unroll(0, 8):
+        assert dig_kept[_k] == t2[COMPONENT_OFF + kept * 8 + _k]
+
+    t2d = slice_hash_iv_dyn(t2, TYPE2_BASE_CHUNKS + n_components,
+                            {(L["TYPE2_BASE_CHUNKS"] + p.max_recursions).bit_length()})
+    out_claim = Array(CLAIM_PADDED)
+    for _k in unroll(CLAIM_SIZE, CLAIM_PADDED):
+        out_claim[_k] = 0
+    verify_child(t2d, own_domsep, out_claim)
+    claims_ptrs = Array(2)
+    claims_ptrs[0] = t2 + CLAIM_OFF
+    claims_ptrs[1] = out_claim
+    reduce_and_bind(data, claims_ptrs, 2)
+
+    h = slice_hash_iv(IDATA, T1_CHUNKS)
+    for _k in unroll(0, 8):
+        assert h[_k] == pub[_k]
+    return
+
+
+def verify_type1_general(data, own_domsep):
     # n_sigs XMSS signatures: raw verifications + recursive children
     # partition-checked by write-once buffer cover (main.py:110-236).
     pub = 0
     n_sigs = data[1]
-    assert n_sigs != 0
-    assert n_sigs - 1 < MAX_N_SIGS
 
     message = IDATA + COMPONENT_OFF + 8
     merkle_chunks = IDATA + COMPONENT_OFF + 16

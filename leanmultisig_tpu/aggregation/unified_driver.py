@@ -184,6 +184,7 @@ def _prove(up: UnifiedProgram, input_data, hints) -> UnifiedProof:
 def _leaf_hints(up: UnifiedProgram, input_data, pub_keys, signatures,
                 slot: int) -> dict:
     hints = {"input_data": [list(input_data)],
+             "is_split": [[0]],
              "meta": [[0, len(signatures)]],
              "tweak_table": [compute_tweak_table(slot)],
              "pubkeys": [sum(([int(x) for x in pk.merkle_root]
@@ -233,7 +234,8 @@ def _node_artifacts(up: UnifiedProgram, children: list, message,
     raw_pks, raw_sigs = raw if raw is not None else ([], [])
     n_raw = len(raw_sigs)
 
-    hints = {"meta": [[len(children), n_raw]],
+    hints = {"is_split": [[0]],
+             "meta": [[len(children), n_raw]],
              "tweak_table": [compute_tweak_table(slot)],
              "raw_indices": [list(range(n_raw))],
              "aggregate_sizes": [[int(ch.input_data[1])
@@ -313,6 +315,52 @@ def _expected_child_pubkeys(up: UnifiedProgram, ch: UnifiedProof) -> list:
     assert [int(x) for x in expected] == \
         [int(x) for x in ch.input_data[off:off + 8]]
     return list(pks)
+
+
+def prove_split(up: UnifiedProgram, t2: UnifiedProof, kept_index: int,
+                kept_input_data: list) -> UnifiedProof:
+    """Type-1 split proof: extract component `kept_index` from a type-2
+    proof (main.py:75-108). kept_input_data is the kept component's full
+    T1 input data (its digest is embedded in the type-2 statement); the
+    split proof's own statement fields equal the kept component's and it
+    verifies WITHOUT the sibling components."""
+    p, L = up.params, up.layout
+    assert t2.input_data[0] == TYPE_2_FLAG
+    n_components = int(t2.input_data[1])
+    assert 0 <= kept_index < n_components
+    kept_input_data = [int(x) for x in kept_input_data]
+    assert len(kept_input_data) == L["T1_SIZE"]
+    co = L["COMPONENT_OFF"]
+    assert input_data_digest(kept_input_data) == \
+        t2.input_data[co + 8 * kept_index:co + 8 * (kept_index + 1)], \
+        "kept_input_data does not match the component digest"
+
+    emb_point, emb_value = _parse_claim(up, t2.input_data)
+    (fr_point, fr_value), raw = _replay_child(up, t2)
+    reduced_point, reduced_value, red_transcript = C.reduce_claims(
+        [(emb_point, emb_value), (fr_point, fr_value)],
+        up.bytecode.instructions_multilinear)
+
+    input_data = ([TYPE_1_FLAG, kept_input_data[1], 0, 0, 0, 0, 0, 0]
+                  + [int(x) for x in C.flatten_claim(
+                      reduced_point, reduced_value, pad=True)]
+                  + [int(x) for x in up.domsep]
+                  + kept_input_data[co:co + 32])
+    assert len(input_data) == L["T1_SIZE"]
+
+    hints = {"input_data": [list(input_data)],
+             "is_split": [[1]],
+             "type2_meta": [[n_components, kept_index]],
+             "inner_type2_layout": [[int(x) for x in t2.input_data]],
+             "kept_type1_buff": [list(kept_input_data)],
+             "raw_transcript": [[int(x) for x in raw.transcript]],
+             "bytecode_value": [[int(x) for x in fr_value]],
+             "whir_leaf": [[int(x) for x in op.leaf_data.reshape(-1)]
+                           for op in raw.merkle_openings],
+             "whir_path": [[int(x) for x in op.path.reshape(-1)]
+                           for op in raw.merkle_openings],
+             "reduction_transcript": [[int(x) for x in red_transcript]]}
+    return _prove(up, input_data, hints)
 
 
 def prove_merge(up: UnifiedProgram, components: list) -> UnifiedProof:
@@ -433,12 +481,18 @@ def compile_unified(max_n_sigs: int, max_recursions: int,
         cache_file = os.path.join(
             cache_dir, "uap_%s.pkl" % "_".join(str(k) for k in key))
         if os.path.exists(cache_file):
+            import hashlib
             with open(cache_file, "rb") as f:
-                params, L = pickle.load(f)
-            src, L2 = generate_unified(params)
-            assert L2 == L
-            bc = compile_program(src, import_resolver=resolve_guest_lib)
-            return UnifiedProgram(params, bc, L, str(hash(src)))
+                entry = pickle.load(f)
+            if len(entry) == 3:  # older 2-tuple caches: re-converge
+                params, L, src_digest = entry
+                src, L2 = generate_unified(params)
+                fresh = hashlib.sha256(src.encode()).hexdigest()
+                if L2 == L and fresh == src_digest:
+                    bc = compile_program(src,
+                                         import_resolver=resolve_guest_lib)
+                    return UnifiedProgram(params, bc, L, fresh)
+            # generator changed since the cache was written: re-converge
 
     # initial guesses
     guess = dict(log_bytecode=17, zero_eval=0, log_memory=19,
@@ -482,9 +536,12 @@ def compile_unified(max_n_sigs: int, max_recursions: int,
         ok, guess = _probe_shapes(up, guess, _probe_slot, verbose)
         if ok:
             if cache_file:
+                import hashlib
                 try:
                     with open(cache_file, "wb") as f:
-                        pickle.dump((params, L), f)
+                        pickle.dump(
+                            (params, L,
+                             hashlib.sha256(src.encode()).hexdigest()), f)
                 except OSError:
                     pass
             return up

@@ -51,7 +51,7 @@ def test_two_level_tree_same_bytecode(uap, tree):
     UD.verify_root(uap, leaf_b)
 
 
-def test_type2_merge(uap, tree):
+def test_type2_merge_and_split(uap, tree):
     message, pub_keys, (leaf_a, leaf_b, _node) = tree
     merged = UD.prove_merge(uap, [leaf_a, leaf_b])
     out = UD.verify_root(uap, merged)
@@ -60,6 +60,20 @@ def test_type2_merge(uap, tree):
         UD.input_data_digest(leaf_a.input_data)
     assert out["component_digests"][1] == \
         UD.input_data_digest(leaf_b.input_data)
+
+    # true split (main.py is_split path): extract component 1 WITHOUT
+    # the sibling; the split proof's statement equals the kept leaf's
+    split = UD.prove_split(uap, merged, 1, leaf_b.input_data)
+    out2 = UD.verify_root(uap, split)
+    assert out2["flag"] == 1
+    assert out2["count"] == leaf_b.input_data[1]
+    co = uap.layout["COMPONENT_OFF"]
+    assert split.input_data[co:co + 32] == \
+        [int(x) for x in leaf_b.input_data[co:co + 32]]
+
+    # splitting with a mismatched kept payload must fail
+    with pytest.raises((AssertionError, ProofError)):
+        UD.prove_split(uap, merged, 0, leaf_b.input_data)
 
 
 def test_root_rejects_forgeries(uap, tree):
