@@ -200,6 +200,15 @@ def _prove_layer_dev(prover_state, nums, dens, claim_point, claim_num,
     nl, nr = nums[0::2], nums[1::2]
     dl, dr = dens[0::2], dens[1::2]
     cols = [dpoly.dbit_reverse(c) for c in (nl, nr, dl, dr)]
+
+    from .dshard import current_mesh
+    if current_mesh() is not None:
+        # sharded proving: keep the per-round dispatch path — the fused
+        # whole-layer kernel compiles extremely slowly under GSPMD and
+        # dispatch overhead is not the bottleneck on a mesh
+        return _prove_layer_unfused(prover_state, cols, claim_point,
+                                    claim_num, claim_den)
+
     k = int(cols[0].shape[0]).bit_length() - 1
     state, blob, next_point, next_num, next_den = _fused_layer_fn(
         k, nums.ndim == 1)(prover_state.challenger.state, *cols,
@@ -208,3 +217,66 @@ def _prove_layer_dev(prover_state, nums, dens, claim_point, claim_num,
     prover_state.challenger.rate_fresh = False
     prover_state.transcript.append(blob)
     return next_point, next_num, next_den
+
+
+def _prove_layer_unfused(prover_state, cols, claim_point, claim_num,
+                         claim_den):
+    """Round-at-a-time layer proof (transcript-identical to the fused
+    kernel; used under a sharding mesh)."""
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    from .dsumcheck import sumcheck_prove_dev
+    prover_state.duplex()
+    alpha = prover_state.sample()
+    expected = _expected_fn()(claim_num, alpha, claim_den)
+    eq_rev = claim_point[::-1]
+
+    challenges, folds, _ = sumcheck_prove_dev(
+        cols, "gkr_quotient", alpha, eq_rev, prover_state, expected,
+        degree=2)
+
+    inner_evals = _stack_inner_fn()(list(folds))
+    prover_state.add_extension_scalars(inner_evals)
+    beta = prover_state.sample()
+    next_num, next_den = _beta_fold_fn()(inner_evals, beta)
+    natural = challenges[::-1]
+    next_point = jnp.concatenate([natural, beta[None]], axis=0)
+    return next_point, next_num, next_den
+
+
+@functools.cache
+def _stack_inner_fn():
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+
+    @jax.jit
+    def stack(folds):
+        rows = [jf.efrom_base(f)[0] if f.ndim == 1 else f[0] for f in folds]
+        return jnp.stack(rows)
+
+    return stack
+
+
+@functools.cache
+def _beta_fold_fn():
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    one = dpoly.eone_m()
+
+    @jax.jit
+    def beta_fold(inner_evals, beta):
+        onej = jnp.asarray(one)
+        nl_q, nr_q, dl_q, dr_q = inner_evals
+        omb = jf.esub(onej, beta)
+        nxt_num = jf.eadd(jf.emul(omb, nl_q), jf.emul(beta, nr_q))
+        nxt_den = jf.eadd(jf.emul(omb, dl_q), jf.emul(beta, dr_q))
+        return nxt_num, nxt_den
+
+    return beta_fold
+
+
+@functools.cache
+def _expected_fn():
+    jax, _ = _jax()
+    from ..field import jnp_field as jf
+    return jax.jit(lambda n, a, d: jf.eadd(n, jf.emul(a, d)))

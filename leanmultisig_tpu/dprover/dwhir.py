@@ -342,6 +342,16 @@ class _DevSumcheckState:
         self.sum = sum_
 
     def run_rounds(self, prover_state, n_rounds: int, pow_bits: int):
+        from .dshard import current_mesh
+        if current_mesh() is not None:
+            # sharded proving keeps the per-round path (see dgkr note)
+            from .dsumcheck import sumcheck_prove_dev
+            challenges, (self.evals, self.weights), self.sum = \
+                sumcheck_prove_dev(
+                    [self.evals, self.weights], "product", None, None,
+                    prover_state, self.sum, n_rounds=n_rounds,
+                    pow_bits=pow_bits)
+            return challenges
         challenges, self.evals, self.weights, self.sum = \
             fused_product_rounds(prover_state, self.evals, self.weights,
                                  self.sum, n_rounds, pow_bits)
@@ -368,6 +378,22 @@ class _DevSumcheckState:
         gamma-scaled eq tables + the sum update run as ONE fused scan
         (the per-point loop was ~3 dispatches x ~100 queries per WHIR
         round — the dominant dispatch cost of the opening phase)."""
+        jax, jnp = _jax()
+        from .dshard import current_mesh
+        if current_mesh() is not None:
+            # sharded proving keeps the per-point path (see dgkr note)
+            from ..field import jnp_field as jf
+            q = int(gen_vals.shape[0])
+            n = int(self.weights.shape[0]).bit_length() - 1
+            for i in range(q):
+                base_scalar = jnp.concatenate(
+                    [gen_vals[i][None], jnp.zeros(4, jnp.uint32)])
+                point = dpoly.dexpand_from_univariate(base_scalar, n)
+                block = dpoly.deval_eq(point, gamma_pow)
+                self.weights = _add_full_fn()(self.weights, block)
+                self.sum, gamma_pow = _sum_update_fn()(
+                    self.sum, stir_evals[i], gamma_pow, comb_gamma)
+            return
         n = int(self.weights.shape[0]).bit_length() - 1
         q = int(gen_vals.shape[0])
         self.weights, self.sum = _stir_equality_fn(n, q)(
