@@ -31,10 +31,21 @@ def _select_prover() -> str:
     forced = os.environ.get("BENCH_PROVER")
     if forced in ("host", "device"):
         return forced
-    import jax
+    # Probe the accelerator in a SUBPROCESS with a deadline: initializing
+    # a tunneled-TPU backend can hang indefinitely when the tunnel is
+    # unhealthy, and a hung probe must not take the whole benchmark down
+    # with it — fall back to the host prover instead.
+    import subprocess
     try:
-        return "device" if jax.devices()[0].platform != "cpu" else "host"
-    except Exception:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
+        platform = r.stdout.strip().splitlines()[-1] if r.stdout else "cpu"
+        return "device" if (r.returncode == 0 and platform != "cpu") \
+            else "host"
+    except (subprocess.TimeoutExpired, OSError):
         return "host"
 
 
