@@ -92,13 +92,19 @@ def _cmd_prove(args) -> int:
 
 def _cmd_tree_bench(args) -> int:
     from .aggregation.benchmark import (AggregationTopology, render_tree,
-                                        run_aggregation_benchmark)
+                                        run_aggregation_benchmark,
+                                        run_unified_benchmark)
     from .whir.config import default_whir_config_builder
     fanouts = [int(x) for x in args.fanouts.split(",")]
-    report = run_aggregation_benchmark(
-        AggregationTopology(fanouts),
-        default_whir_config_builder(args.log_inv_rate), seed=args.seed,
-        warmup=args.warmup, reps=args.reps)
+    builder = default_whir_config_builder(args.log_inv_rate)
+    if args.unified:
+        report = run_unified_benchmark(AggregationTopology(fanouts),
+                                       builder, seed=args.seed,
+                                       reps=args.reps)
+    else:
+        report = run_aggregation_benchmark(
+            AggregationTopology(fanouts), builder, seed=args.seed,
+            warmup=args.warmup, reps=args.reps)
     print(render_tree(report), file=sys.stderr)
     print(json.dumps(report))
     return 0
@@ -147,6 +153,9 @@ def main(argv=None) -> int:
                     help="sigs-per-leaf,then merge fanouts (e.g. 4,2,2)")
     tb.add_argument("--log-inv-rate", type=int, default=1)
     tb.add_argument("--seed", type=int, default=42)
+    tb.add_argument("--unified", action="store_true",
+                    help="use the unified self-referential program "
+                         "(one bytecode for every node)")
     tb.add_argument("--warmup", type=int, default=1,
                     help="untimed warmup proves before timing")
     tb.add_argument("--reps", type=int, default=3,

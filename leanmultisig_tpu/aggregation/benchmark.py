@@ -158,6 +158,72 @@ def next_children_stats(stats, i, fan):
     return stats[i:i + fan]
 
 
+def run_unified_benchmark(topology: AggregationTopology, builder,
+                          seed: int = 42, verify: bool = True,
+                          reps: int = 1) -> dict:
+    """Tree benchmark over the UNIFIED self-referential program: every
+    node (leaf or merge) is a proof of the same bytecode sharing one
+    (message, slot) type-1 statement; the root is checked against the
+    single trust root (unified_driver.verify_root)."""
+    from . import unified_driver as UD
+
+    rng = np.random.default_rng(seed)
+    n_sigs = topology.fanouts[0]
+    total = topology.total_signatures()
+    max_fan = max(topology.fanouts[1:], default=1)
+    up = UD.compile_unified(total, max_fan, builder)
+
+    slot = 111
+    message = rng.integers(0, P, size=8, dtype=np.uint32)
+    signers = make_signers(total, slot)
+    sigs = sign_all(signers, message, slot)
+    pub_keys = [pk for _, pk in signers]
+
+    t_total = time.perf_counter()
+    level_nodes, level_stats = [], []
+    for i in range(topology.n_leaves()):
+        lo = i * n_sigs
+        pks = pub_keys[lo:lo + n_sigs]
+        node, dt, ci = _timed(
+            lambda: UD.prove_leaf(up, message, pks,
+                                  sigs[lo:lo + n_sigs], slot), reps)
+        level_nodes.append(node)
+        level_stats.append(NodeStats(
+            "leaf", n_sigs, dt,
+            node.proof.proof_size_fe() * 4 / 1024,
+            node.metadata["cycles"], ci95_s=ci))
+
+    for fan in topology.fanouts[1:]:
+        next_nodes, next_stats = [], []
+        assert len(level_nodes) % fan == 0
+        for i in range(0, len(level_nodes), fan):
+            children = level_nodes[i:i + fan]
+            node, dt, ci = _timed(
+                lambda: UD.prove_node(up, children, message, slot), reps)
+            next_nodes.append(node)
+            next_stats.append(NodeStats(
+                "merge", sum(s.n_xmss for s in level_stats[i:i + fan]),
+                dt, node.proof.proof_size_fe() * 4 / 1024,
+                node.metadata["cycles"], ci95_s=ci,
+                children=level_stats[i:i + fan]))
+        level_nodes, level_stats = next_nodes, next_stats
+
+    if verify:
+        for node in level_nodes:
+            UD.verify_root(up, node)
+
+    total_s = time.perf_counter() - t_total
+    root = level_stats[0] if len(level_stats) == 1 else None
+    return {
+        "topology": topology.fanouts, "unified": True,
+        "total_signatures": total,
+        "total_s": round(total_s, 2),
+        "sigs_per_s": round(total / total_s, 4),
+        "root": root.as_dict() if root else [s.as_dict()
+                                             for s in level_stats],
+    }
+
+
 def render_tree(report: dict) -> str:
     """Live-tree style rendering (benchmark.rs:491+ analog)."""
     lines = [f"aggregation tree {report['topology']}: "
