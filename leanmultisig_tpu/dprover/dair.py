@@ -554,14 +554,179 @@ def _emul2_fn():
     return jax.jit(jf.emul)
 
 
+@functools.cache
+def _fused_air_phase_fn(n_rounds: int, max_full_degree: int,
+                        sessions_meta: tuple, absorb_final: bool):
+    """The WHOLE batched AIR sumcheck — every round of every session,
+    the combined-poly absorption, sampling, folds, and (optionally) the
+    final column-eval absorption — as ONE jitted dispatch with the FS
+    sponge threaded through the trace (same rationale as dgkr's fused
+    layer: per-dispatch tunnel overhead dominated the phase; the
+    round/absorb/sample sequence is identical to the unfused path, so
+    the transcript is bit-exact).
+
+    sessions_meta: tuple of (table, n_vars, degree, n_cols_all)."""
+    jax, jnp = _jax()
+    from ..field import jnp_field as jf
+    from .dfs import (CAPACITY, RATE, _observe_chunks_fn,
+                      dexpand_bare_to_full)
+
+    def observe(state, flat):
+        n = int(flat.shape[0])
+        n_chunks = -(-n // RATE)
+        if n_chunks * RATE > n:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros(n_chunks * RATE - n, jnp.uint32)])
+        return _observe_chunks_fn(n_chunks)(state, flat)
+
+    tables_xs = {table: [0, 1] + list(range(2, degree + 1))
+                 for table, _, degree, _ in sessions_meta}
+
+    @jax.jit
+    def run(state, eta, alpha_powers, alphas_eq, bus_beta, all_cols,
+            eq_ys, sums):
+        one = jnp.asarray(dpoly.eone_m())
+        eta_powers = [one]
+        for _ in range(1, len(sessions_meta)):
+            eta_powers.append(jf.emul(eta_powers[-1], eta))
+
+        cols = [list(cs) for cs in all_cols]
+        sums = list(sums)
+        missing = [one for _ in sessions_meta]
+        k_mult = [one for _ in sessions_meta]
+        tparts = []
+        challenges = []
+
+        for round_ in range(n_rounds):
+            combined = jnp.zeros((max_full_degree + 1, EXT), jnp.uint32)
+            bares = [None] * len(sessions_meta)
+            for idx, (table, n_vars, degree, n_cols) in \
+                    enumerate(sessions_meta):
+                join_round = n_rounds - n_vars
+                scale = jf.emul(eta_powers[idx], k_mult[idx])
+                if round_ < join_round:
+                    combined = combined.at[1].set(
+                        jf.eadd(combined[1], jf.emul(scale, sums[idx])))
+                    continue
+                sr = round_ - join_round
+                eq_alpha = eq_ys[idx][sr]
+                rest = eq_ys[idx][sr + 1:]
+                eq_table = (dpoly.deval_eq(rest) if rest.shape[0]
+                            else one[None, :])
+                half = cols[idx][0].shape[0] // 2
+                zs = [0] + list(range(2, degree + 1))
+                n_zs = len(zs)
+                zs_m = jnp.asarray(np.array(
+                    [dpoly.monty_const(z) for z in zs], np.uint32))
+                stacked = []
+                for c in cols[idx]:
+                    lo, hi = c[:half], c[half:]
+                    d = jf.sub(hi, lo)
+                    if c.ndim == 1:
+                        pts = jf.add(lo[None], jf.mul(d[None],
+                                                      zs_m[:, None]))
+                    else:
+                        pts = jf.add(lo[None],
+                                     jf.mul(d[None], zs_m[:, None, None]))
+                    stacked.append(pts.reshape((n_zs * half,)
+                                               + c.shape[1:]))
+                n_flat = TABLE_AIRS[table].n_columns
+                acc = eval_constraints_dispatch(
+                    table, stacked[:n_flat], stacked[n_flat:],
+                    alpha_powers, alphas_eq, bus_beta)
+                acc = acc.reshape(n_zs, half, EXT)
+                weighted = jf.emul(acc, eq_table[None, :half])
+                sums_z = jf.sum_mod(weighted, 1)  # (n_zs, 5)
+                totals = [jf.emul(sums_z[i], missing[idx])
+                          for i in range(n_zs)]
+                num = jf.esub(sums[idx],
+                              jf.emul(jf.esub(one, eq_alpha), totals[0]))
+                p_at_1 = jf.emul(num, jf.einv(eq_alpha))
+                ys = jnp.stack([totals[0], p_at_1] + totals[1:])
+                bare = dpoly.dlagrange_interpolation(tables_xs[table], ys)
+                bares[idx] = bare
+                full = dexpand_bare_to_full(bare, eq_alpha)
+                kf = int(full.shape[0])
+                combined = combined.at[:kf].set(
+                    jf.eadd(combined[:kf],
+                            jf.emul(jnp.broadcast_to(scale, full.shape),
+                                    full)))
+
+            state = observe(state, combined.reshape(-1))
+            tparts.append(jf.to_u32(combined[1:].reshape(-1)))
+            r = state[CAPACITY:CAPACITY + EXT]
+            challenges.append(r)
+
+            for idx, (table, n_vars, degree, n_cols) in \
+                    enumerate(sessions_meta):
+                join_round = n_rounds - n_vars
+                if round_ < join_round:
+                    k_mult[idx] = jf.emul(k_mult[idx], r)
+                    continue
+                sr = round_ - join_round
+                eq_alpha = eq_ys[idx][sr]
+                bare = bares[idx]
+                acc = bare[-1]
+                for i in range(int(bare.shape[0]) - 2, -1, -1):
+                    acc = jf.eadd(jf.emul(acc, r), bare[i])
+                eq_eval = jf.eadd(
+                    jf.emul(jf.esub(one, eq_alpha), jf.esub(one, r)),
+                    jf.emul(eq_alpha, r))
+                sums[idx] = jf.emul(acc, eq_eval)
+                missing[idx] = jf.emul(missing[idx], eq_eval)
+                cols[idx] = dpoly.dfold(cols[idx], r)
+
+        final_rows = []
+        for idx in range(len(sessions_meta)):
+            rows = jnp.stack(
+                [jf.efrom_base(c)[0] if c.ndim == 1 else c[0]
+                 for c in cols[idx]])
+            final_rows.append(rows)
+            if absorb_final:
+                state = observe(state, rows.reshape(-1))
+                tparts.append(jf.to_u32(rows.reshape(-1)))
+
+        return (state, jnp.concatenate(tparts), jnp.stack(challenges),
+                final_rows)
+
+    return run
+
+
 def prove_batched_air_sumcheck_dev(prover_state, sessions: list, eta):
-    """(air_sumcheck.rs:636-681); mirrors the host combiner. Returns the
-    challenge stack (n_rounds, 5) monty device."""
+    """(air_sumcheck.rs:636-681); mirrors the host combiner. Absorbs the
+    final column evals per session (in session order) and returns
+    (challenge stack (n_rounds, 5), [per-session (n_cols, 5) final
+    column evals]) — all monty device."""
     jax, jnp = _jax()
     from ..field import jnp_field as jf
     from .dfs import dexpand_bare_to_full
     n_rounds = max(s.initial_n_vars() for s in sessions)
     max_full_degree = max(s.air.degree + 1 for s in sessions)
+
+    import os
+    from .dshard import use_fused
+    # Whole-phase fusion produces an XLA graph that takes >25 min to
+    # compile (16 unrolled rounds x 3 inlined constraint evaluators) —
+    # opt-in until reworked at per-round granularity.
+    if use_fused() and os.environ.get("LMS_FUSE_AIR"):
+        sessions_meta = tuple(
+            (s.table, s.initial_n_vars(), s.air.degree, len(s.cols))
+            for s in sessions)
+        state, blob, challenge_stack, final_rows = _fused_air_phase_fn(
+            n_rounds, max_full_degree, sessions_meta, True)(
+            prover_state.challenger.state, eta,
+            sessions[0].alpha_powers, sessions[0].alphas_eq,
+            sessions[0].bus_beta,
+            [s.cols for s in sessions],
+            [s.eq_y for s in sessions],
+            [s.sum for s in sessions])
+        prover_state.challenger.state = state
+        # the kernel's last FS op is an observe (combined poly, or the
+        # final column evals when absorb_final) -> the rate is fresh
+        prover_state.challenger.rate_fresh = True
+        prover_state.transcript.append(blob)
+        return challenge_stack, final_rows
+
     eta_powers = [jnp.asarray(dpoly.eone_m())]
     for _ in range(1, len(sessions)):
         eta_powers.append(_emul2_fn()(eta_powers[-1], eta))
@@ -596,4 +761,9 @@ def prove_batched_air_sumcheck_dev(prover_state, sessions: list, eta):
             else:
                 session.process_challenge(challenge, bare_polys[idx])
 
-    return jnp.stack(challenges)
+    final_rows = []
+    for session in sessions:
+        rows = session.final_column_evals()
+        prover_state.add_extension_scalars(rows)
+        final_rows.append(rows)
+    return jnp.stack(challenges), final_rows

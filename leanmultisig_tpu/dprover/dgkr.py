@@ -201,11 +201,11 @@ def _prove_layer_dev(prover_state, nums, dens, claim_point, claim_num,
     dl, dr = dens[0::2], dens[1::2]
     cols = [dpoly.dbit_reverse(c) for c in (nl, nr, dl, dr)]
 
-    from .dshard import current_mesh
-    if current_mesh() is not None:
-        # sharded proving: keep the per-round dispatch path — the fused
-        # whole-layer kernel compiles extremely slowly under GSPMD and
-        # dispatch overhead is not the bottleneck on a mesh
+    from .dshard import use_fused
+    if not use_fused():
+        # per-round dispatch path: required under a sharding mesh and
+        # when LMS_NO_FUSE=1 (see dshard.use_fused for the compile-cost
+        # rationale); transcript-identical to the fused kernel
         return _prove_layer_unfused(prover_state, cols, claim_point,
                                     claim_num, claim_den)
 

@@ -235,15 +235,14 @@ def prove_execution_dev(bytecode, public_input, witness: ExecutionWitness,
                                       bus_beta))
 
     with span("air_sumcheck"):
-        sumcheck_air_point = prove_batched_air_sumcheck_dev(ps, sessions,
-                                                            air_eta)
+        sumcheck_air_point, air_col_evals = prove_batched_air_sumcheck_dev(
+            ps, sessions, air_eta)
         _dprof_sync(ps)
 
     for idx, (table, _) in enumerate(tables_sorted):
         from ..air.tables_air import TABLE_AIRS
         air = TABLE_AIRS[table]
-        col_evals = sessions[idx].final_column_evals()
-        ps.add_extension_scalars(col_evals)
+        col_evals = air_col_evals[idx]
         log_n = traces[table].log_n_rows
         nat_point = sumcheck_air_point[-log_n:][::-1]
         eq_values = {i: col_evals[i] for i in range(air.n_columns)}

@@ -36,6 +36,26 @@ def current_mesh():
     return _MESH
 
 
+def use_fused() -> bool:
+    """Whether the whole-layer fused FS-threaded kernels (dgkr
+    _fused_layer_fn, dsumcheck _fused_product_rounds_fn, dair
+    _fused_air_phase_fn) should be used. Opt-in via LMS_FUSE=1; never
+    under a sharding mesh.
+
+    Off by default: each unrolled-round fused kernel costs 50-200+ s of
+    XLA compile (measured on XLA:CPU; the TPU pipeline is slower still)
+    and a full prove needs ~15-20 of them per shape set — the first
+    prove would spend >40 min compiling, which starves the benchmark
+    deadline. The unfused per-dispatch paths are transcript-identical
+    and their small shape-cached kernels compile in seconds. The
+    scan-structured batched kernels (e.g. dwhir._stir_equality_fn) are
+    compile-cheap and stay on unconditionally off-mesh."""
+    import os
+    if _MESH is not None:
+        return False
+    return os.environ.get("LMS_FUSE", "") == "1"
+
+
 @contextlib.contextmanager
 def prover_mesh(mesh):
     """Activate `mesh` (any 1-D jax Mesh with axis name "rows") for all

@@ -342,9 +342,9 @@ class _DevSumcheckState:
         self.sum = sum_
 
     def run_rounds(self, prover_state, n_rounds: int, pow_bits: int):
-        from .dshard import current_mesh
-        if current_mesh() is not None:
-            # sharded proving keeps the per-round path (see dgkr note)
+        from .dshard import use_fused
+        if not use_fused():
+            # per-round path (see dshard.use_fused for the rationale)
             from .dsumcheck import sumcheck_prove_dev
             challenges, (self.evals, self.weights), self.sum = \
                 sumcheck_prove_dev(
@@ -381,7 +381,8 @@ class _DevSumcheckState:
         jax, jnp = _jax()
         from .dshard import current_mesh
         if current_mesh() is not None:
-            # sharded proving keeps the per-point path (see dgkr note)
+            # sharded proving keeps the per-point path (see dgkr note);
+            # off-mesh the scan kernel is always used (compile-cheap)
             from ..field import jnp_field as jf
             q = int(gen_vals.shape[0])
             n = int(self.weights.shape[0]).bit_length() - 1

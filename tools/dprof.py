@@ -10,6 +10,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ["LMS_DPROVE"] = "1"
 os.environ.setdefault("BENCH_PROVER", "device")
 
