@@ -5,57 +5,50 @@ protocol security (124-bit, WHIR rate 1/2), matching the reference's
 headline setup (`xmss --n-signatures N --log-inv-rate 1`, README.md:29-36;
 baseline 1319 XMSS/s on M4 Max CPU).
 
-Prover selection:
-  - a TPU/accelerator is visible  -> device-resident prover (dprover/)
-  - CPU only                      -> host (numpy + native C) prover
-  - BENCH_PROVER=host|device overrides.
+Reliability contract: this script ALWAYS prints a JSON line within
+BENCH_DEADLINE_S (default 420 s), whatever the TPU tunnel does. The
+device attempt (LMS_DPROVE prover on the axon chip) runs in a SUBPROCESS
+with a hard wall-clock deadline; if it times out, crashes, or only a CPU
+is visible, the parent falls back to the host (numpy + native C) prover
+inline. BENCH_PROVER=host|device overrides the selection.
 
 The first device run compiles several hundred shape-specialized kernels
 (persistently cached in .jax_cache); an untimed warmup run absorbs
-compile + tracing, then BENCH_REPS timed reps report the min.
+compile + tracing, then up to BENCH_REPS timed reps report the min.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_XMSS_PER_S = 1319.0  # reference README.md:35
+T_START = time.time()
 
 
-def _select_prover() -> str:
-    forced = os.environ.get("BENCH_PROVER")
-    if forced in ("host", "device"):
-        return forced
-    # Probe the accelerator in a SUBPROCESS with a deadline: initializing
-    # a tunneled-TPU backend can hang indefinitely when the tunnel is
-    # unhealthy, and a hung probe must not take the whole benchmark down
-    # with it — fall back to the host prover instead.
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True,
-            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
-        platform = r.stdout.strip().splitlines()[-1] if r.stdout else "cpu"
-        return "device" if (r.returncode == 0 and platform != "cpu") \
-            else "host"
-    except (subprocess.TimeoutExpired, OSError):
-        return "host"
+def _deadline() -> float:
+    return T_START + float(os.environ.get("BENCH_DEADLINE_S", "420"))
 
 
-def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
+def _remaining() -> float:
+    return _deadline() - time.time()
+
+
+def bench_xmss_aggregation(n_sigs: int, prover: str,
+                           deadline_ts: float) -> dict:
+    """Full aggregation bench; reps adapt to the absolute deadline."""
     from leanmultisig_tpu.aggregation.driver import (aggregate, make_signers,
                                                      sign_all,
                                                      verify_aggregate)
     from leanmultisig_tpu.field.constants import P
     from leanmultisig_tpu.whir.config import default_whir_config_builder
 
+    t0 = time.time()
     signers = make_signers(n_sigs)
     rng = np.random.default_rng(42)
     message = rng.integers(0, P, size=8, dtype=np.uint32)
@@ -76,26 +69,34 @@ def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
         get_native_evaluator(_t)
     from leanmultisig_tpu.vm.native_runner import get_vmrunner_lib
     get_vmrunner_lib()
+    setup_s = time.time() - t0
 
     if prover == "device":
         os.environ["LMS_DPROVE"] = "1"
         # warmup run: XLA compiles + tracing, untimed
-        t0 = time.perf_counter()
+        t0 = time.time()
         aggregate(message, pub_keys, sigs, cfg, native_check=False)
-        warmup_s = time.perf_counter() - t0
+        warmup_s = time.time() - t0
     else:
         os.environ.pop("LMS_DPROVE", None)
         warmup_s = 0.0
 
     # min-of-N timing: the shared host shows bursty multi-second steal
-    # windows; the fastest rep reflects the prover, not the neighbors
+    # windows; the fastest rep reflects the prover, not the neighbors.
+    # Rep count adapts to the absolute deadline: always one measured rep,
+    # more only while time remains (reserving ~1.5 proof times for the
+    # next rep plus the final untimed verify).
     reps = int(os.environ.get("BENCH_REPS", "3"))
     dt = float("inf")
+    n_done = 0
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
         bc, public_input, proof, metadata = aggregate(
             message, pub_keys, sigs, cfg, native_check=False)
         dt = min(dt, time.perf_counter() - t0)
+        n_done += 1
+        if time.time() + 2.5 * dt > deadline_ts:
+            break
 
     # proof must verify (not timed)
     verify_aggregate(bc, public_input, proof, cfg)
@@ -110,7 +111,9 @@ def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
             "n_sigs": n_sigs,
             "prove_s": round(dt, 2),
             "prover": prover,
+            "reps": n_done,
             "warmup_s": round(warmup_s, 1),
+            "setup_s": round(setup_s, 1),
             "proof_KiB": round(proof.proof_size_fe() * 4 / 1024, 1),
             "cycles": metadata["cycles"],
             "security": "124-bit johnson, rate 1/2",
@@ -118,10 +121,7 @@ def bench_xmss_aggregation(n_sigs: int, prover: str) -> dict:
     }
 
 
-def main() -> None:
-    # 70 signatures fill the 2^16-row execution table exactly
-    # (118 fixed + 932/sig cycles): best table occupancy per proof.
-    n_sigs = int(os.environ.get("BENCH_N_SIGS", "70"))
+def _configure_jax_cache() -> None:
     import jax
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -129,12 +129,81 @@ def main() -> None:
                      ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    prover = _select_prover()
+
+
+def _device_child(n_sigs: int) -> int:
+    """Runs in a subprocess: full device bench, prints the JSON line.
+    Exit 3 = no accelerator visible (parent falls back to host)."""
+    _configure_jax_cache()
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        return 3
+    budget = float(os.environ.get("BENCH_CHILD_BUDGET_S", "240"))
+    result = bench_xmss_aggregation(n_sigs, "device",
+                                    deadline_ts=T_START + budget - 10)
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+def _run_device_subprocess(n_sigs: int, budget_s: float) -> dict | None:
+    env = dict(os.environ)
+    env["BENCH_CHILD_BUDGET_S"] = str(budget_s)
     try:
-        result = bench_xmss_aggregation(n_sigs, prover)
-    except Exception as e:  # report a failed bench honestly
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-child",
+             str(n_sigs)],
+            capture_output=True, text=True, timeout=budget_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"[bench] device attempt failed: {type(e).__name__}",
+              file=sys.stderr)
+        return None
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        print(f"[bench] device child rc={r.returncode}: {tail}",
+              file=sys.stderr)
+        return None
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+            if isinstance(parsed, dict) and "metric" in parsed:
+                return parsed
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-child":
+        sys.exit(_device_child(int(sys.argv[2])))
+
+    # 70 signatures fill the 2^16-row execution table exactly
+    # (118 fixed + 932/sig cycles): best table occupancy per proof.
+    n_sigs = int(os.environ.get("BENCH_N_SIGS", "70"))
+    forced = os.environ.get("BENCH_PROVER")
+    host_reserve = float(os.environ.get("BENCH_HOST_RESERVE_S", "150"))
+
+    result = None
+    if forced != "host":
+        budget = _remaining() - host_reserve
+        if forced == "device":
+            budget = _remaining() - 5
+        if budget > 60:
+            result = _run_device_subprocess(n_sigs, budget)
+
+    if result is None and forced != "device":
+        try:
+            result = bench_xmss_aggregation(
+                n_sigs, "host",
+                deadline_ts=max(_deadline() - 20, time.time() + 45))
+        except Exception as e:  # report a failed bench honestly
+            result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
+                      "unit": "sigs/s", "vs_baseline": 0,
+                      "error": str(e)[:200]}
+    if result is None:
         result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
-                  "unit": "sigs/s", "vs_baseline": 0, "error": str(e)[:200]}
+                  "unit": "sigs/s", "vs_baseline": 0,
+                  "error": "device bench failed and BENCH_PROVER=device"}
     print(json.dumps(result))
 
 
