@@ -25,6 +25,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..air.symbolic import SymConst, SymOp, SymVar, symbolic_constraints
 from ..vm.isa import LOGUP_PRECOMPILE_DOMAINSEP
 
@@ -168,7 +170,7 @@ def _round_fn(table: str, n_z: int, base: bool):
         weighted = jf.emul(acc, eq_table[None, :half])
         return jf.sum_mod(weighted, axis=1)  # (n_z, 5)
 
-    return jax.jit(rnd)
+    return aot_jit(rnd)
 
 
 def air_round_evals(table: str, cols_m, eq_m, alpha_powers_m, alphas_eq_m,

@@ -16,6 +16,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..field.constants import P, TWO_ADIC_GENERATORS
 
 
@@ -36,7 +38,7 @@ def _grind_fn(batch: int):
     from ..field import jnp_field as jf
     from ..poseidon import perm
 
-    @jax.jit
+    @aot_jit
     def grind_batch(capacity_monty, base):
         # states: [capacity(8) | base+i, 0...0]
         idx = base + jnp.arange(batch, dtype=jnp.uint32)
@@ -80,7 +82,7 @@ def _leaf_hash_fn(width: int):
 
     n_chunks = width // 8
 
-    @jax.jit
+    @aot_jit
     def leaf_hash(rows_monty):
         state = rows_monty[:, width - 16:]
         state = perm.compress(state)
@@ -98,7 +100,7 @@ def _tree_fn(log_n: int):
     jax, jnp = _jax()
     from ..poseidon import perm
 
-    @jax.jit
+    @aot_jit
     def reduce_tree(digests_monty):
         layers = []
         cur = digests_monty
@@ -142,7 +144,7 @@ def _dft_fn(log_n: int, start_layer: int, tail: tuple):
 
     n = 1 << log_n
 
-    @jax.jit
+    @aot_jit
     def dft(x_monty, *twiddles_monty):
         x = x_monty
         for li, s in enumerate(range(start_layer, log_n)):

@@ -13,6 +13,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..field import np_field as nf
 from ..field.constants import P
 from ..poly import np_poly as pp
@@ -45,7 +47,7 @@ def _eval_eq_fn(n: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def eval_eq(point_m, scalar_m):
         out = scalar_m[None, :]
         for i in range(n):
@@ -63,7 +65,7 @@ def _add_fn(shape_key: tuple):
     jax, _ = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def add(a, b):
         return jf.add(a, b)
 
@@ -75,7 +77,7 @@ def _scatter_add_fn(total: int, block: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def scatter_add(weights_m, eq_m, lo):
         lo = lo.astype(jnp.int32)
         zero = jnp.int32(0)
@@ -103,7 +105,7 @@ def _product_round_fn(log_n: int, base_evals: bool):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def round_(evals_m, weights_m):
         half = evals_m.shape[0] // 2
         x0, x1 = evals_m[:half], evals_m[half:]
@@ -124,7 +126,7 @@ def _product_fold_fn(log_n: int, base_evals: bool):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def fold(evals_m, weights_m, r_m):
         half = evals_m.shape[0] // 2
         x0, x1 = evals_m[:half], evals_m[half:]

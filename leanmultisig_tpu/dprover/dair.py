@@ -23,6 +23,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..air.tables_air import TABLE_AIRS
 from ..field.constants import P
 from ..poseidon.sparse import sparse_constants
@@ -407,7 +409,7 @@ def _air_round_fn(table: str, n_z: int, half: int, base: bool):
     n_zs = len(zs)
     zs_m = np.array([dpoly.monty_const(z) for z in zs], np.uint32)
 
-    @jax.jit
+    @aot_jit
     def rnd(cols, eq_table, alpha_powers, alphas_eq, bus_beta, missing,
             sum_, eq_alpha):
         one = jnp.asarray(dpoly.eone_m())
@@ -454,7 +456,7 @@ def _process_challenge_fn():
     from ..field import jnp_field as jf
     one = dpoly.eone_m()
 
-    @jax.jit
+    @aot_jit
     def process(bare_coeffs, r, eq_alpha, sum_, missing):
         onej = jnp.asarray(one)
         eq_eval = jf.eadd(
@@ -522,7 +524,7 @@ def _combine_add_fn(k: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def comb(combined, full, scale):
         out = []
         for i in range(combined.shape[0]):
@@ -540,7 +542,7 @@ def _add_scaled_sum_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def f(combined, scale, s):
         return combined.at[1].set(jf.eadd(combined[1], jf.emul(scale, s)))
 
@@ -551,7 +553,7 @@ def _add_scaled_sum_fn():
 def _emul2_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(jf.emul)
+    return aot_jit(jf.emul)
 
 
 @functools.cache
@@ -582,7 +584,7 @@ def _fused_air_phase_fn(n_rounds: int, max_full_degree: int,
     tables_xs = {table: [0, 1] + list(range(2, degree + 1))
                  for table, _, degree, _ in sessions_meta}
 
-    @jax.jit
+    @aot_jit
     def run(state, eta, alpha_powers, alphas_eq, bus_beta, all_cols,
             eq_ys, sums):
         one = jnp.asarray(dpoly.eone_m())

@@ -12,6 +12,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 EXT = 5
 
 
@@ -35,7 +37,7 @@ def _dft_fn(log_n: int, start_layer: int, tail: tuple):
     from ..field import jnp_field as jf
     n = 1 << log_n
 
-    @jax.jit
+    @aot_jit
     def dft(x, *twiddles):
         for li, s in enumerate(range(start_layer, log_n)):
             length = 1 << s
@@ -65,7 +67,7 @@ def dft_evals_dev(mat, start_layer: int = 0):
 def _reorder_fn(shape: tuple, k: int, r: int, dft_n_cols: int):
     jax, jnp = _jax()
 
-    @jax.jit
+    @aot_jit
     def reorder(evals):
         n_evals = evals.shape[0]
         tail = evals.shape[1:]

@@ -15,6 +15,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..field.constants import P
 from . import dpoly
 
@@ -47,7 +49,7 @@ def _observe_chunks_fn(n_chunks: int):
     jax, jnp = _jax()
     from ..poseidon import perm
 
-    @jax.jit
+    @aot_jit
     def observe(state, chunks):
         def body(st, chunk):
             st = jnp.concatenate([st[:CAPACITY], chunk])
@@ -66,7 +68,7 @@ def _sample_many_fn(n: int):
     jax, jnp = _jax()
     from ..poseidon import perm
 
-    @jax.jit
+    @aot_jit
     def sample_many(state):
         outs = [state[CAPACITY:]]
         for _ in range(n - 1):
@@ -83,7 +85,7 @@ def _sample_many_fn(n: int):
 def _to_u32_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(jf.to_u32)
+    return aot_jit(jf.to_u32)
 
 
 @functools.cache
@@ -94,7 +96,7 @@ def _grind_fn(bits: int, batch: int):
     mask = np.uint32((1 << bits) - 1)
     big = np.uint32(0xFFFFFFFF)
 
-    @jax.jit
+    @aot_jit
     def grind(capacity_m):
         def cond(carry):
             base, hit = carry
@@ -274,7 +276,7 @@ class DevProverState:
 def _from_u32_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(jf.from_u32)
+    return aot_jit(jf.from_u32)
 
 
 @functools.cache
@@ -283,7 +285,7 @@ def _expand_bare_fn(k: int):
     from ..field import jnp_field as jf
     one = dpoly.eone_m()
 
-    @jax.jit
+    @aot_jit
     def expand(bare, alpha):
         onej = jnp.asarray(one)
         one_minus_alpha = jf.esub(onej, alpha)

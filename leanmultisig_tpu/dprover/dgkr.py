@@ -11,6 +11,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from . import dpoly
 from .dsumcheck import register_computation
 
@@ -29,7 +31,7 @@ def _layer_up_fn(base: bool):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def layer_up(nums, dens):
         nl, nr = nums[0::2], nums[1::2]
         dl, dr = dens[0::2], dens[1::2]
@@ -117,7 +119,7 @@ def _fused_layer_fn(k: int, base: bool):
 
     two_m = dpoly.monty_const(2)
 
-    @jax.jit
+    @aot_jit
     def run(state, nl, nr, dl, dr, claim_point, claim_num, claim_den):
         one = jnp.asarray(dpoly.eone_m())
         state = observe(state, jnp.zeros(RATE, jnp.uint32))  # duplex
@@ -249,7 +251,7 @@ def _stack_inner_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def stack(folds):
         rows = [jf.efrom_base(f)[0] if f.ndim == 1 else f[0] for f in folds]
         return jnp.stack(rows)
@@ -263,7 +265,7 @@ def _beta_fold_fn():
     from ..field import jnp_field as jf
     one = dpoly.eone_m()
 
-    @jax.jit
+    @aot_jit
     def beta_fold(inner_evals, beta):
         onej = jnp.asarray(one)
         nl_q, nr_q, dl_q, dr_q = inner_evals
@@ -279,4 +281,4 @@ def _beta_fold_fn():
 def _expected_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(lambda n, a, d: jf.eadd(n, jf.emul(a, d)))
+    return aot_jit(lambda n, a, d: jf.eadd(n, jf.emul(a, d)))

@@ -12,6 +12,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..protocols.logup import compute_total_active_len, sort_tables_by_height
 from ..vm import tables as T
 from ..vm.isa import (COL_PC, LOGUP_BYTECODE_DOMAINSEP,
@@ -59,7 +61,7 @@ def _fp_scalar_fn(n: int, domainsep: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def fp(data, alphas_eq):
         acc = None
         for i in range(n):
@@ -84,7 +86,7 @@ def _fill_fn(meta_key, shapes_key):
     n_bc = 1 << log_bytecode
     max_table_height = 1 << tables_sorted[0][1]
 
-    @jax.jit
+    @aot_jit
     def fill(c, alphas_eq, memory, memory_acc, bc_cols, bytecode_acc,
              trace_cols):
         nums_parts = []
@@ -259,11 +261,11 @@ P_MINUS_1 = (1 << 31) - (1 << 24)  # P - 1
 def _scale_scalar_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(lambda e, s: jf.mul(e, s))
+    return aot_jit(lambda e, s: jf.mul(e, s))
 
 
 @functools.cache
 def _cplus_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(jf.eadd)
+    return aot_jit(jf.eadd)

@@ -13,6 +13,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 EXT = 5
 RATE = 8
 WIDTH = 16
@@ -31,7 +33,7 @@ def _leaf_hash_fn(width: int):
     from ..poseidon import perm
     n_chunks = width // RATE
 
-    @jax.jit
+    @aot_jit
     def leaf_hash(rows):
         state = rows[:, width - WIDTH:]
         state = perm.compress(state)
@@ -60,7 +62,7 @@ def _tree_fn(log_n: int):
     jax, jnp = _jax()
     from ..poseidon import perm
 
-    @jax.jit
+    @aot_jit
     def reduce_tree(digests):
         layers = [digests]
         cur = digests
@@ -77,7 +79,7 @@ def _tree_fn(log_n: int):
 def _pad_fn(shape: tuple, full_width: int):
     jax, jnp = _jax()
 
-    @jax.jit
+    @aot_jit
     def pad(base):
         h, w = base.shape
         return jnp.concatenate(
@@ -91,7 +93,7 @@ def _open_fn(n_levels: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def open_(leaf_base, indices, *layers):
         rows = jnp.take(leaf_base, indices, axis=0)  # (q, W) monty
         sibs = []

@@ -14,6 +14,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..field.constants import P
 
 EXT = 5
@@ -44,7 +46,7 @@ def _fold_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def fold(cols, r):
         out = []
         for m in cols:
@@ -72,7 +74,7 @@ def _eval_mle_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def eval_mle(evals, point):
         cur = evals
         n = point.shape[0]
@@ -102,7 +104,7 @@ def _eval_mle_cols_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def eval_cols(cols, point):
         """cols: (C, 2^n) base monty; point (n,5) -> (C, 5)."""
         cur = cols
@@ -132,7 +134,7 @@ def _eval_eq_fn(n: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def eval_eq(point, scalar):
         out = scalar[None, :]
         for i in range(n):
@@ -159,7 +161,7 @@ def _horner_fn(k: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def horner(coeffs, x):
         acc = coeffs[k - 1]
         for i in range(k - 2, -1, -1):
@@ -203,7 +205,7 @@ def _lagrange_fn(k: int, xs: tuple):
     # coeffs = V^{-1} @ ys; V maps coeffs->evals so coeffs_i = sum_j W[j][i]*y_j
     w = _inv_vandermonde_monty(xs)  # (k, k): w[i][j] coeff_i from y_j
 
-    @jax.jit
+    @aot_jit
     def lagrange(ys):
         rows = []
         for i in range(k):
@@ -229,7 +231,7 @@ def _expand_fn(n: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def expand(y):
         out = []
         cur = y
@@ -252,7 +254,7 @@ def _eq_outside_fn(n: int):
     from ..field import jnp_field as jf
     one = eone_m()
 
-    @jax.jit
+    @aot_jit
     def eq_outside(a, b):
         acc = jnp.asarray(one)
         for i in range(n):
@@ -283,7 +285,7 @@ def _bitrev_indices(log_n: int) -> np.ndarray:
 def _gather_fn():
     jax, jnp = _jax()
 
-    @jax.jit
+    @aot_jit
     def gather(m, idx):
         return jnp.take(m, idx, axis=0)
 
@@ -303,7 +305,7 @@ def _evals_to_coeffs_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def e2c(data):
         n = data.shape[0]
         cur = data

@@ -13,6 +13,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..air.tables_air import max_air_constraints
 from ..field.constants import P
 from ..protocols.logup import (max_bus_width_including_domainsep,
@@ -55,7 +57,7 @@ def _dprof_sync(ps) -> None:
 def _concat_fn(n_parts: int, total: int):
     jax, jnp = _jax()
 
-    @jax.jit
+    @aot_jit
     def cat(parts):
         out = jnp.concatenate(parts)
         pad = total - out.shape[0]
@@ -71,7 +73,7 @@ def _alpha_powers_fn(n: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def powers(alpha):
         out = [jnp.asarray(dpoly.eone_m())]
         for _ in range(n):
@@ -87,7 +89,7 @@ def _bus_final_fn(pull: bool):
     from ..field import jnp_field as jf
     sign = dpoly.monty_const(P - 1 if pull else 1)
 
-    @jax.jit
+    @aot_jit
     def bus_final(num_v, den_v, bus_beta, logup_c):
         return jf.eadd(jf.mul(num_v, jnp.asarray(sign)),
                        jf.emul(bus_beta, jf.esub(den_v, logup_c)))
@@ -99,7 +101,7 @@ def _bus_final_fn(pull: bool):
 def _shift_col_fn():
     jax, jnp = _jax()
 
-    @jax.jit
+    @aot_jit
     def shift(col):
         return jnp.concatenate([col[1:], col[-1:]])
 

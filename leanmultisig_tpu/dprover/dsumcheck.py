@@ -18,6 +18,8 @@ import functools
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from . import dpoly
 
 EXT = 5
@@ -38,7 +40,7 @@ def _product_round_fn(base_evals: bool):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def round_(evals, weights, sum_):
         half = evals.shape[0] // 2
         x0, x1 = evals[:half], evals[half:]
@@ -64,7 +66,7 @@ def _generic_round_fn(comp_key, n_z: int, with_missing: bool, shapes_key):
     from ..field import jnp_field as jf
     comp = _COMPUTATIONS[comp_key]
 
-    @jax.jit
+    @aot_jit
     def round_(cols, eq_table, missing, extra):
         half = cols[0].shape[0] // 2
         zs = [0] + list(range(2, n_z + 1))
@@ -106,7 +108,7 @@ def _h1_eq_fn():
     from ..field import jnp_field as jf
     one = dpoly.eone_m()
 
-    @jax.jit
+    @aot_jit
     def h1(sum_, h0, a0):
         import jax.numpy as jnp
         onej = jnp.asarray(one)
@@ -122,7 +124,7 @@ def _post_round_fn():
     from ..field import jnp_field as jf
     one = dpoly.eone_m()
 
-    @jax.jit
+    @aot_jit
     def post(coeffs, r, a0, missing, nxt):
         """-> (new_sum, new_missing) after sampling r (np_sumcheck:192-201)."""
         import jax.numpy as jnp
@@ -201,7 +203,7 @@ def _fused_product_rounds_fn(k: int, pow_bits: int, base_evals: bool,
         c1 = jf.esub(jf.esub(sum_, jf.eadd(c0, c0)), c2)
         return jnp.stack([c0, c1, c2])
 
-    @jax.jit
+    @aot_jit
     def run(state, evals, weights, sum_):
         tparts = []
         challenges = []

@@ -15,6 +15,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..utils.aot_cache import aot_jit
+
 from ..field.constants import P
 from ..whir.config import WhirConfig
 from . import dpoly
@@ -107,7 +109,7 @@ def _accum_block_fn(total: int, block: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def accum(weights, block_vals, lo):
         lo = lo.astype(jnp.int32)
         seg = jax.lax.dynamic_slice(weights, (lo, jnp.int32(0)),
@@ -123,7 +125,7 @@ def _scale_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def scale(tab, s):
         return jf.emul(tab, jnp.broadcast_to(s, tab.shape))
 
@@ -136,7 +138,7 @@ def _next_mle_folded_fn(n: int):
     from ..field import jnp_field as jf
     one = dpoly.eone_m()
 
-    @jax.jit
+    @aot_jit
     def nm(outer):
         onej = jnp.asarray(one)
         res = jnp.zeros((1 << n, EXT), jnp.uint32)
@@ -160,7 +162,7 @@ def _next_mle_folded_fn(n: int):
 def _emul_s_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(jf.emul)
+    return aot_jit(jf.emul)
 
 
 @functools.cache
@@ -168,7 +170,7 @@ def _sum_update_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def upd(combined_sum, value, gamma_pow, gamma):
         new_sum = jf.eadd(combined_sum, jf.emul(value, gamma_pow))
         return new_sum, jf.emul(gamma_pow, gamma)
@@ -214,7 +216,7 @@ def combine_statement_dev(statements: list, gamma):
 def _add_full_fn():
     jax, _ = _jax()
     from ..field import jnp_field as jf
-    return jax.jit(jf.eadd)
+    return aot_jit(jf.eadd)
 
 
 @functools.cache
@@ -226,7 +228,7 @@ def _stir_equality_fn(n: int, q: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def run(weights, sum_, gen_vals, stir_evals, gamma, gamma_pow0):
         def step(carry, inp):
             w, s_, gpow = carry
@@ -278,7 +280,7 @@ def _pow_from_bits_fn(bits: int):
     from ..field import jnp_field as jf
     one = dpoly.MONTY_ONE
 
-    @jax.jit
+    @aot_jit
     def pow_(indices, gen_pows):
         acc = jnp.full(indices.shape, one, jnp.uint32)
         for j in range(bits):
@@ -304,7 +306,7 @@ def _batch_eval_leaf_fn(k: int, is_ext: bool):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @jax.jit
+    @aot_jit
     def ev(rows_m, point):
         q = rows_m.shape[0]
         cur = rows_m.reshape((q, 1 << k, EXT) if is_ext
@@ -329,7 +331,7 @@ def _batch_eval_leaf_fn(k: int, is_ext: bool):
 def _mask_fn(bits: int):
     jax, jnp = _jax()
     mask = np.uint32((1 << bits) - 1)
-    return jax.jit(lambda fes: fes & mask)
+    return aot_jit(lambda fes: fes & mask)
 
 
 # --- the opening argument ---------------------------------------------------
