@@ -129,6 +129,25 @@ def _aval_key(args):
     return (str(treedef), tuple(_aval_entry(x) for x in leaves))
 
 
+class _CompiledCall:
+    """Call a pre-warmed jax Compiled; fall back to plain jit if the
+    AOT call rejects the concrete arguments (layout/committment)."""
+
+    def __init__(self, compiled, plain_factory):
+        self._compiled = compiled
+        self._plain_factory = plain_factory
+        self._fallback = None
+
+    def __call__(self, *args):
+        if self._fallback is not None:
+            return self._fallback(*args)
+        try:
+            return self._compiled(*args)
+        except Exception:
+            self._fallback = self._plain_factory()
+            return self._fallback(*args)
+
+
 class AotJit:
     """jax.jit with a cross-process disk cache of exported StableHLO."""
 
@@ -146,6 +165,9 @@ class AotJit:
     def _plain_jit(self):
         if self._plain is None:
             import jax
+            if os.environ.get("LMS_AOT_DEBUG") == "1":
+                print(f"[aot] PLAIN {self._fn.__qualname__} "
+                      f"broken={self._broken}", flush=True)
             self._plain = jax.jit(self._fn, **self._jit_kwargs)
         return self._plain
 
@@ -177,16 +199,33 @@ class AotJit:
         except _Unhashable:
             self._broken = True
             return self._plain_jit()
+        base = os.path.basename(path)
+        _USED.append(base)
+        pre = _PRELOADED.get(base)
+        if pre is not None:
+            return _CompiledCall(pre, self._plain_jit)
+        debug = os.environ.get("LMS_AOT_DEBUG") == "1"
         if os.path.exists(path):
             try:
+                import time
+                t0 = time.perf_counter()
                 with open(path, "rb") as f:
                     ex = jax.export.deserialize(bytearray(f.read()))
-                return jax.jit(ex.call)
-            except Exception:
+                out = jax.jit(ex.call)
+                if debug:
+                    print(f"[aot] HIT  {self._fn.__qualname__} "
+                          f"{time.perf_counter() - t0:.2f}s", flush=True)
+                return out
+            except Exception as e:
+                if debug:
+                    print(f"[aot] LOADFAIL {self._fn.__qualname__} "
+                          f"{type(e).__name__}", flush=True)
                 try:
                     os.unlink(path)
                 except OSError:
                     pass
+        elif debug:
+            print(f"[aot] MISS {self._fn.__qualname__}", flush=True)
         jitted = self._plain_jit()
         try:
             ex = jax.export.export(jitted)(*args)
@@ -219,6 +258,83 @@ class AotJit:
             fn = self._load_or_build(args, key)
             self._per_aval[key] = fn
         return fn(*args)
+
+
+# -- parallel pre-warm ------------------------------------------------------
+# A prove dispatches its kernels serially; over a tunneled TPU the first
+# call of each kernel pays ~0.5-1.5 s of executable load even with every
+# cache warm, so ~350 kernels cost ~8 min of warmup. The artifact set a
+# workload uses is recorded as a manifest; prewarm() then deserializes +
+# compiles all of them on a thread pool (deserialize/compile release the
+# GIL) and __call__ picks up the compiled executables directly.
+
+_PRELOADED: dict = {}
+_USED: list = []
+
+
+def record_manifest(tag: str) -> None:
+    """Write the ordered artifact list this process used to
+    manifest_<tag>.json (call after a full workload run)."""
+    import json
+    path = os.path.join(cache_dir(), f"manifest_{tag}.json")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(sorted(set(_USED)), f)
+    os.replace(tmp, path)
+
+
+def prewarm(tag: str, max_workers: int | None = None) -> int:
+    """Deserialize + compile every artifact in manifest_<tag>.json in
+    parallel; returns the number pre-warmed (0 if no manifest)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    if max_workers is None:
+        max_workers = int(os.environ.get("LMS_PREWARM_WORKERS", "16"))
+    path = os.path.join(cache_dir(), f"manifest_{tag}.json")
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        names = json.load(f)
+
+    run_once = os.environ.get("LMS_PREWARM_EXEC", "1") == "1"
+
+    def load(name: str):
+        fpath = os.path.join(cache_dir(), name)
+        if not os.path.exists(fpath):
+            return None
+        try:
+            with open(fpath, "rb") as fh:
+                ex = jax.export.deserialize(bytearray(fh.read()))
+            args = jax.tree.unflatten(
+                ex.in_tree,
+                [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in ex.in_avals])
+            compiled = jax.jit(ex.call).lower(*args[0], **args[1]).compile()
+            out = None
+            if run_once:  # force the device program load off the hot path
+                import jax.numpy as jnp
+                zeros = jax.tree.unflatten(
+                    ex.in_tree,
+                    [jnp.zeros(a.shape, a.dtype) for a in ex.in_avals])
+                out = compiled(*zeros[0], **zeros[1])
+            return name, compiled, out
+        except Exception:
+            return None
+
+    n = 0
+    outs = []
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        for res in pool.map(load, names):
+            if res is not None:
+                _PRELOADED[res[0]] = res[1]
+                if res[2] is not None:
+                    outs.append(res[2])
+                n += 1
+    if outs:
+        jax.block_until_ready(outs)
+    return n
 
 
 _SRC_DIGESTS: dict = {}

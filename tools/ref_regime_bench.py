@@ -34,6 +34,13 @@ def main() -> None:
 
     if args.prover == "device":
         os.environ["LMS_DPROVE"] = "1"
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     else:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
