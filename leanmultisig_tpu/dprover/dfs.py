@@ -45,26 +45,37 @@ def to_dev_monty(x):
 
 
 @functools.cache
-def _observe_chunks_fn(n_chunks: int):
+def _observe_chunks_fn(n: int):
+    """Absorb n raw scalars: ravel + zero-pad to RATE chunks INSIDE the
+    kernel (an eager pad/reshape per absorb costs a separate dispatch +
+    first-call program load over a tunneled TPU)."""
     jax, jnp = _jax()
     from ..poseidon import perm
+    n_chunks = -(-n // RATE)
 
     @aot_jit
-    def observe(state, chunks):
+    def observe(state, scalars):
+        scalars = scalars.reshape(-1)
+        if n_chunks * RATE > n:
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros(n_chunks * RATE - n, jnp.uint32)])
+
         def body(st, chunk):
             st = jnp.concatenate([st[:CAPACITY], chunk])
             return perm.permute(st[None, :])[0], None
 
-        out, _ = jax.lax.scan(body, state, chunks.reshape(n_chunks, RATE))
+        out, _ = jax.lax.scan(body, state,
+                              scalars.reshape(n_chunks, RATE))
         return out
 
     return observe
 
 
 @functools.cache
-def _sample_many_fn(n: int):
-    """state -> (state', (n*RATE,) monty samples): sample, then duplex+sample
-    n-1 times (challenger.rs sample_many)."""
+def _sample_many_fn(n: int, n_fes: int, ext: int = 0):
+    """state -> (state', (n_fes,) monty samples — (n_fes/5, 5) for
+    ext=1, (5,) for ext=2): sample, then duplex+sample n-1 times
+    (challenger.rs sample_many); slicing/reshaping happens in-kernel."""
     jax, jnp = _jax()
     from ..poseidon import perm
 
@@ -76,7 +87,12 @@ def _sample_many_fn(n: int):
                 [state[:CAPACITY], jnp.zeros(RATE, jnp.uint32)])
             state = perm.permute(st[None, :])[0]
             outs.append(state[CAPACITY:])
-        return state, jnp.concatenate(outs)
+        out = jnp.concatenate(outs)[:n_fes]
+        if ext == 1:
+            out = out.reshape(-1, EXT)
+        elif ext == 2:  # single EF sample, squeezed
+            out = out.reshape(EXT)
+        return state, out
 
     return sample_many
 
@@ -89,6 +105,19 @@ def _to_u32_fn():
 
 
 @functools.cache
+def _tail_u32_fn():
+    """coeffs (k,5) monty -> flat canonical transcript words minus the
+    elided c0 (fs/prover.py:79-94), in one kernel."""
+    from ..field import jnp_field as jf
+
+    @aot_jit
+    def tail(coeffs):
+        return jf.to_u32(coeffs[1:].reshape(-1))
+
+    return tail
+
+
+@functools.cache
 def _grind_fn(bits: int, batch: int):
     jax, jnp = _jax()
     from ..field import jnp_field as jf
@@ -97,7 +126,9 @@ def _grind_fn(bits: int, batch: int):
     big = np.uint32(0xFFFFFFFF)
 
     @aot_jit
-    def grind(capacity_m):
+    def grind(state):
+        capacity_m = state[:CAPACITY]
+
         def cond(carry):
             base, hit = carry
             return hit == big
@@ -115,7 +146,7 @@ def _grind_fn(bits: int, batch: int):
 
         _, witness = jax.lax.while_loop(
             cond, body, (jnp.uint32(0), jnp.asarray(big)))
-        return witness
+        return witness[None], jf.from_u32(witness)[None]
 
     return grind
 
@@ -129,16 +160,11 @@ class DevChallenger:
         self.rate_fresh = False
 
     def observe_many_monty(self, scalars) -> None:
-        """scalars: 1-D monty device array (static length)."""
-        _, jnp = _jax()
-        n = int(scalars.shape[0])
+        """scalars: monty device array, any shape (raveled in-kernel)."""
+        n = int(np.prod(scalars.shape))
         if n == 0:
             return
-        n_chunks = -(-n // RATE)
-        if n_chunks * RATE > n:
-            scalars = jnp.concatenate(
-                [scalars, jnp.zeros(n_chunks * RATE - n, jnp.uint32)])
-        self.state = _observe_chunks_fn(n_chunks)(self.state, scalars)
+        self.state = _observe_chunks_fn(n)(self.state, scalars)
         self.rate_fresh = True
 
     def observe_host(self, scalars) -> None:
@@ -148,13 +174,14 @@ class DevChallenger:
         _, jnp = _jax()
         self.observe_many_monty(jnp.zeros(RATE, jnp.uint32))
 
-    def sample_fes(self, n_fes: int):
-        """-> (n_fes,) monty device (consumes rate; duplexes as needed)."""
+    def sample_fes(self, n_fes: int, ext: int = 0):
+        """-> (n_fes,) monty device (consumes rate; duplexes as needed);
+        ext=1 reshapes to (n_fes/5, 5), ext=2 to (5,), in-kernel."""
         assert self.rate_fresh, "stale rate. insert a duplex() before."
         n = -(-n_fes // RATE)
-        self.state, out = _sample_many_fn(n)(self.state)
+        self.state, out = _sample_many_fn(n, n_fes, ext)(self.state)
         self.rate_fresh = False
-        return out[:n_fes]
+        return out
 
 
 class DevProverState:
@@ -189,20 +216,20 @@ class DevProverState:
         self.challenger.duplex()
 
     def add_extension_scalars(self, scalars) -> None:
-        """scalars: (k, 5) monty device."""
-        self.add_monty_scalars(scalars.reshape(-1))
+        """scalars: (k, 5) monty device (raveled in-kernel)."""
+        self.add_monty_scalars(scalars)
 
     def add_extension_scalar(self, scalar) -> None:
-        self.add_monty_scalars(scalar.reshape(-1))
+        self.add_monty_scalars(scalar)
 
     def add_sumcheck_polynomial(self, coeffs, eq_alpha=None) -> None:
         """coeffs: (k, 5) monty device (fs/prover.py:79-94 semantics)."""
         if eq_alpha is None:
-            self.challenger.observe_many_monty(coeffs.reshape(-1))
+            self.challenger.observe_many_monty(coeffs)
         else:
             full = dexpand_bare_to_full(coeffs, eq_alpha)
-            self.challenger.observe_many_monty(full.reshape(-1))
-        self.transcript.append(_to_u32_fn()(coeffs[1:].reshape(-1)))
+            self.challenger.observe_many_monty(full)
+        self.transcript.append(_tail_u32_fn()(coeffs))
 
     # --- sampling ---------------------------------------------------------
     def sample_vec(self, length: int):
@@ -210,15 +237,16 @@ class DevProverState:
         _, jnp = _jax()
         if length == 0:
             return jnp.zeros((0, EXT), jnp.uint32)
-        return self.challenger.sample_fes(length * EXT).reshape(length, EXT)
+        return self.challenger.sample_fes(length * EXT, ext=1)
 
     def sample(self):
-        return self.sample_vec(1)[0]
+        return self.challenger.sample_fes(EXT, ext=2)
 
     def sample_in_range_fes(self, n_samples: int):
-        """-> (n_samples,) CANONICAL device fes (mask applied by caller)."""
-        fes = self.challenger.sample_fes(-(-n_samples // RATE) * RATE)
-        return _to_u32_fn()(fes[:n_samples])
+        """-> (n_samples,) CANONICAL device fes (mask applied by caller).
+        Equivalent to sampling ceil(n/RATE)*RATE and truncating: the
+        challenger consumes the same number of duplexes either way."""
+        return _to_u32_fn()(self.challenger.sample_fes(n_samples))
 
     # --- pow grinding -----------------------------------------------------
     def pow_grinding(self, bits: int, batch: int = 1 << 15) -> None:
@@ -226,10 +254,9 @@ class DevProverState:
         if bits == 0:
             return
         _, jnp = _jax()
-        witness = _grind_fn(bits, batch)(self.challenger.state[:CAPACITY])
-        witness_m = _from_u32_fn()(witness)[None]
+        witness, witness_m = _grind_fn(bits, batch)(self.challenger.state)
         self.challenger.observe_many_monty(witness_m)
-        self.transcript.append(witness[None])
+        self.transcript.append(witness)
         self.grind_bits_used.append(bits)
 
     # --- merkle hints -----------------------------------------------------

@@ -74,11 +74,10 @@ def _eval_mle_fn():
     jax, jnp = _jax()
     from ..field import jnp_field as jf
 
-    @aot_jit
-    def eval_mle(evals, point):
-        cur = evals
-        n = point.shape[0]
-        for k in range(n):
+    LOG_CHUNK = 20  # scan-chunk rows for huge polys (temps ~tens of MB)
+
+    def fold_all(cur, point, k0):
+        for k in range(k0, point.shape[0]):
             half = cur.shape[0] // 2
             lo, hi = cur[:half], cur[half:]
             diff = jf.sub(hi, lo)
@@ -90,6 +89,32 @@ def _eval_mle_fn():
         if cur.ndim == 1:
             return jf.efrom_base(cur)[0]
         return cur[0]
+
+    @aot_jit
+    def eval_mle(evals, point):
+        n = point.shape[0]
+        if n <= LOG_CHUNK + 2:
+            return fold_all(evals, point, 0)
+        # big poly: fold the top k_top variables as a weighted sum of
+        # per-chunk MLE evaluations under lax.scan — peak temp memory is
+        # one chunk's fold, not the whole polynomial in extension form
+        k_top = n - LOG_CHUNK
+        one = jnp.asarray(eone_m())
+        eq = one[None, :]  # (1, 5)
+        for v in range(k_top - 1, -1, -1):  # last processed = MSB = x_0
+            hi = jf.emul(eq, jnp.broadcast_to(point[v], eq.shape))
+            eq = jnp.concatenate([jf.esub(eq, hi), hi])
+        chunks = evals.reshape((1 << k_top, 1 << LOG_CHUNK)
+                               + evals.shape[1:])
+
+        def body(acc, inp):
+            chunk, w = inp
+            return jf.eadd(acc, jf.emul(w, fold_all(chunk, point, k_top))), \
+                None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(EXT, jnp.uint32),
+                              (chunks, eq))
+        return acc
 
     return eval_mle
 

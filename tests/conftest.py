@@ -30,3 +30,22 @@ from leanmultisig_tpu.utils.xla_cache import (configure_persistent_cache,  # noq
 
 configure_persistent_cache()
 raise_map_count()
+
+# Parallel pre-warm of every kernel the suite used last time (AOT export
+# artifacts + compiled executables load on a thread pool instead of
+# serially at first dispatch), and record the manifest for the next run.
+from leanmultisig_tpu.utils import aot_cache  # noqa: E402
+
+_MANIFEST_TAG = "pytest_cpu"
+
+
+def pytest_configure(config):
+    # full-suite runs only: a single-file invocation shouldn't pay the
+    # whole-suite kernel load
+    args = [a for a in config.args if a.endswith(".py") or "::" in a]
+    if not args and os.environ.get("LMS_NO_PREWARM") != "1":
+        aot_cache.prewarm(_MANIFEST_TAG)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    aot_cache.record_manifest(_MANIFEST_TAG)

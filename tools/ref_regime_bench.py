@@ -60,6 +60,19 @@ def main() -> None:
 
     def run_row(name, rate_log, conjectured):
         cfg = default_whir_config_builder(rate_log, conjectured=conjectured)
+        warmup_s = 0.0
+        if args.prover == "device":
+            # parallel kernel pre-warm + one untimed run (compiles)
+            from leanmultisig_tpu.utils.aot_cache import (prewarm,
+                                                          record_manifest)
+            import jax
+            tag = f"refreg_{name.replace('/', '_')}_n{n}_" \
+                  f"{jax.default_backend()}"
+            t0 = time.perf_counter()
+            prewarm(tag)
+            aggregate(message, pub_keys, sigs, cfg, native_check=False)
+            record_manifest(tag)
+            warmup_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         bc, pub, proof, md = aggregate(message, pub_keys, sigs, cfg,
                                        native_check=False)
@@ -70,7 +83,7 @@ def main() -> None:
             "prove_s": round(dt, 2),
             "sigs_per_s": round(n / dt, 1),
             "proof_KiB": round(proof.proof_size_fe() * 4 / 1024, 1),
-            "cycles": md["cycles"],
+            "cycles": md["cycles"], "warmup_s": round(warmup_s, 1),
         }
         print(json.dumps(out), flush=True)
         return bc, pub, proof
