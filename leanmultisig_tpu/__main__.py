@@ -26,6 +26,8 @@ def _cmd_xmss(args) -> int:
     from .field.constants import P
     from .whir.config import default_whir_config_builder
 
+    if getattr(args, "device", False):
+        os.environ["LMS_DPROVE"] = "1"
     n = args.n_signatures
     print(f"generating {n} XMSS signers...", file=sys.stderr)
     signers = make_signers(n)
@@ -90,6 +92,44 @@ def _cmd_prove(args) -> int:
     return 0
 
 
+def _cmd_recursion(args) -> int:
+    """1->1 recursion latency (reference `recursion` subcommand,
+    src/main.rs:8-52 / README.md:53)."""
+    if args.tracing:
+        from .utils.logs import init_tracing
+        init_tracing(True)
+    import numpy as np
+
+    from .aggregation.driver import aggregate, make_signers, sign_all
+    from .aggregation.recursion_driver import (_inner_shape,
+                                               prove_recursively,
+                                               verify_recursive)
+    from .field.constants import P
+    from .whir.config import default_whir_config_builder
+
+    n = args.n_signatures
+    signers = make_signers(n)
+    rng = np.random.default_rng(args.seed)
+    message = rng.integers(0, P, size=8, dtype=np.uint32)
+    sigs = sign_all(signers, message)
+    cfg = default_whir_config_builder(args.log_inv_rate)
+    bc, pub, proof, _ = aggregate(message, [pk for _, pk in signers], sigs,
+                                  cfg, native_check=False)
+    log_memory, tlr, _ = _inner_shape(bc, pub, proof, cfg)
+    t0 = time.perf_counter()
+    obc, opub, oproof, md = prove_recursively(bc, pub, proof, cfg, cfg)
+    dt = time.perf_counter() - t0
+    verify_recursive(bc, obc, opub, oproof, cfg, log_memory, tlr, len(pub),
+                     input_data=md["input_data"])
+    print(json.dumps({
+        "inner_n_signatures": n,
+        "recursion_prove_s": round(dt, 3),
+        "outer_proof_KiB": round(oproof.proof_size_fe() * 4 / 1024, 1),
+        "outer_cycles": md["cycles"],
+    }))
+    return 0
+
+
 def _cmd_tree_bench(args) -> int:
     from .aggregation.benchmark import (AggregationTopology, render_tree,
                                         run_aggregation_benchmark,
@@ -137,7 +177,17 @@ def main(argv=None) -> int:
     x.add_argument("--tracing", action="store_true")
     x.add_argument("--profiling", action="store_true")
     x.add_argument("--output", help="write serialized proof here")
+    x.add_argument("--device", action="store_true",
+                   help="use the device-resident prover (LMS_DPROVE)")
     x.set_defaults(fn=_cmd_xmss)
+
+    r = sub.add_parser("recursion",
+                       help="1->1 recursion latency (src/main.rs)")
+    r.add_argument("--n-signatures", type=int, default=8)
+    r.add_argument("--log-inv-rate", type=int, default=1)
+    r.add_argument("--seed", type=int, default=42)
+    r.add_argument("--tracing", action="store_true")
+    r.set_defaults(fn=_cmd_recursion)
 
     pr = sub.add_parser("prove", help="prove a zkDSL program")
     pr.add_argument("source")
