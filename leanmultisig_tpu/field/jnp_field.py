@@ -191,28 +191,32 @@ def emul(a, b):
     """Extension multiply; reduction schedule mirrors quintic_mul
     (quintic_extension/extension.rs:529-549).
 
-    Vectorized over the 5x5 product lanes: ONE batched Montgomery multiply
-    on a (..., 5, 5) tensor plus a 3-level tree reduction, instead of 25
-    scalar multiplies — ~10x fewer traced primitives, identical values
-    (modular adds are associative on canonical representatives)."""
+    Evaluated COLUMN-WISE: each output coefficient is a 5-term
+    multiply-accumulate over (...,)-shaped lanes, so every intermediate
+    is the input's size and the whole product fuses into one elementwise
+    pass. (An earlier (..., 5, 5)-tensor formulation materialized a
+    25x-padded HLO temp — 5 GB for a 2^25-row GKR layer on TPU.)"""
+    av = [a[..., i] for i in range(5)]
     bv = [b[..., i] for i in range(5)]
     b_0_m3 = sub(bv[0], bv[3])
     b_1_m4 = sub(bv[1], bv[4])
     b_4_m2 = sub(bv[4], bv[2])
     b_3_m14 = sub(bv[3], b_1_m4)
-    # B[..., i, k] = schedule column k at lane i (c_k = sum_i a_i * B[i,k])
-    flat = [
-        bv[0], bv[1], bv[2], bv[3], bv[4],
-        bv[4], bv[0], b_1_m4, bv[2], bv[3],
-        bv[3], bv[4], b_0_m3, b_1_m4, bv[2],
-        bv[2], bv[3], b_4_m2, b_0_m3, b_1_m4,
-        b_1_m4, bv[2], b_3_m14, b_4_m2, b_0_m3,
-    ]
-    bmat = jnp.stack(flat, axis=-1).reshape(bv[0].shape + (5, 5))
-    prods = mul(a[..., :, None], bmat)
-    t0 = add(prods[..., 0, :], prods[..., 1, :])
-    t1 = add(prods[..., 2, :], prods[..., 3, :])
-    return add(add(t0, t1), prods[..., 4, :])
+    # rows of the schedule matrix: c_k = sum_i a_i * B[i][k]
+    B = (
+        (bv[0], bv[1], bv[2], bv[3], bv[4]),
+        (bv[4], bv[0], b_1_m4, bv[2], bv[3]),
+        (bv[3], bv[4], b_0_m3, b_1_m4, bv[2]),
+        (bv[2], bv[3], b_4_m2, b_0_m3, b_1_m4),
+        (b_1_m4, bv[2], b_3_m14, b_4_m2, b_0_m3),
+    )
+    cols = []
+    for k in range(5):
+        acc = mul(av[0], B[0][k])
+        for i in range(1, 5):
+            acc = add(acc, mul(av[i], B[i][k]))
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
 
 
 def escalar_mul(a, s):
