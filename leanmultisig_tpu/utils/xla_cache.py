@@ -32,10 +32,16 @@ def machine_fingerprint() -> str:
 def configure_persistent_cache(base_dir: str | None = None) -> str:
     """Point jax at a per-machine persistent compile cache; returns the
     directory. Idempotent. `base_dir` defaults to $LMS_XLA_CACHE or
-    ~/.cache/lms_xla."""
+    <repo>/.jax_cache/host (inside the repo so the warm cache is
+    COMMITTED: a fresh checkout — e.g. the driver's end-of-round bench
+    and multichip dryrun — starts warm instead of paying ~30 min of
+    cold XLA compiles; the fingerprint suffix keeps entries from a
+    different machine from ever loading)."""
     import jax
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     base = base_dir or os.environ.get(
-        "LMS_XLA_CACHE", os.path.expanduser("~/.cache/lms_xla"))
+        "LMS_XLA_CACHE", os.path.join(repo, ".jax_cache", "host"))
     cache = f"{base}_{machine_fingerprint()}"
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
