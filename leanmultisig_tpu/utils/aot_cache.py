@@ -293,10 +293,18 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
     if max_workers is None:
         max_workers = int(os.environ.get("LMS_PREWARM_WORKERS", "16"))
     path = os.path.join(cache_dir(), f"manifest_{tag}.json")
-    if not os.path.exists(path):
-        return 0
-    with open(path) as f:
-        names = json.load(f)
+    if os.path.exists(path):
+        with open(path) as f:
+            names = json.load(f)
+    else:
+        # No manifest for this workload yet: pre-warm every artifact on
+        # disk instead. A superset costs some extra loads but still
+        # turns ~6-12 min of serial first-dispatch loads into a ~1-2 min
+        # parallel pass (all artifacts come from this repo's workloads).
+        names = sorted(n for n in os.listdir(cache_dir())
+                       if n.endswith(".jaxexp"))
+        if not names:
+            return 0
 
     run_once = os.environ.get("LMS_PREWARM_EXEC", "1") == "1"
 
