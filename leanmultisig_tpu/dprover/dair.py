@@ -737,6 +737,13 @@ def prove_batched_air_sumcheck_dev(prover_state, sessions: list, eta):
     k = [jnp.asarray(dpoly.eone_m()) for _ in sessions]
 
     for round_ in range(n_rounds):
+        from .dtail import below
+        if below(1 << (n_rounds - round_ - 1)):
+            # every remaining round works on sub-waterline halves:
+            # finish the whole phase on host (dtail docstring)
+            return _finish_air_host(prover_state, sessions, eta_powers, k,
+                                    challenges, round_, n_rounds,
+                                    max_full_degree)
         combined = jnp.zeros((max_full_degree + 1, EXT), jnp.uint32)
         bare_polys = [None] * len(sessions)
         for idx, session in enumerate(sessions):
@@ -769,3 +776,80 @@ def prove_batched_air_sumcheck_dev(prover_state, sessions: list, eta):
         prover_state.add_extension_scalars(rows)
         final_rows.append(rows)
     return jnp.stack(challenges), final_rows
+
+
+def _finish_air_host(prover_state, sessions, eta_powers, k, dev_challenges,
+                     start_round, n_rounds, max_full_degree):
+    """Fetch every session's (small) state and run the remaining batched
+    AIR rounds + final column-eval absorption through the host
+    implementation (protocols/air_sumcheck). Bit-exact; results are
+    re-uploaded so dprove keeps device semantics."""
+    _, jnp = _jax()
+    from ..air.tables_air import ExtraDataForBuses
+    from ..field import np_field as nf
+    from ..fs.prover import expand_bare_to_full
+    from ..protocols.air_sumcheck import AirSumcheckSession
+    from .dtail import begin_tail, end_tail, fetch, upload
+
+    alpha_powers_h = fetch(sessions[0].alpha_powers)
+    alphas_eq_h = fetch(sessions[0].alphas_eq)
+    bus_beta_h = fetch(sessions[0].bus_beta)
+    extra = ExtraDataForBuses(alphas_eq_h, bus_beta_h)
+
+    host_sessions = []
+    for s in sessions:
+        hs = AirSumcheckSession.__new__(AirSumcheckSession)
+        hs.table = s.table
+        hs.air = s.air
+        hs.n_vars = s.n_vars
+        hs.cols = [fetch(c) for c in s.cols]
+        hs.eq_y = fetch(s.eq_y)
+        hs.sum = fetch(s.sum)
+        hs.missing = fetch(s.missing)
+        hs.alpha_powers = alpha_powers_h
+        hs.extra_data = extra
+        hs.rounds_done = s.rounds_done
+        host_sessions.append(hs)
+
+    eta_powers_h = [fetch(e) for e in eta_powers]
+    k_h = [fetch(x) for x in k]
+
+    hp = begin_tail(prover_state)
+    challenges_h = []
+    for round_ in range(start_round, n_rounds):
+        combined = np.zeros((max_full_degree + 1, EXT), np.uint32)
+        bare_polys = [None] * len(host_sessions)
+        for idx, session in enumerate(host_sessions):
+            join_round = n_rounds - session.initial_n_vars()
+            scale = nf.emul(eta_powers_h[idx], k_h[idx])
+            if round_ < join_round:
+                combined[1] = nf.eadd(combined[1],
+                                      nf.emul(scale, session.sum))
+            else:
+                bare = session.compute_bare_round_poly()
+                full = expand_bare_to_full(bare, session.eq_alpha())
+                for i in range(len(full)):
+                    combined[i] = nf.eadd(combined[i],
+                                          nf.emul(scale, full[i]))
+                bare_polys[idx] = bare
+
+        hp.add_sumcheck_polynomial(combined)
+        challenge = hp.sample()
+        challenges_h.append(challenge)
+
+        for idx, session in enumerate(host_sessions):
+            join_round = n_rounds - session.initial_n_vars()
+            if round_ < join_round:
+                k_h[idx] = nf.emul(k_h[idx], challenge)
+            else:
+                session.process_challenge(challenge, bare_polys[idx])
+
+    final_rows = []
+    for session in host_sessions:
+        rows = session.final_column_evals()
+        hp.add_extension_scalars(rows)
+        final_rows.append(upload(rows))
+    end_tail(prover_state, hp)
+
+    all_challenges = list(dev_challenges) + [upload(c) for c in challenges_h]
+    return jnp.stack(all_challenges), final_rows

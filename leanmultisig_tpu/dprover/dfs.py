@@ -272,10 +272,16 @@ class DevProverState:
         _, jnp = _jax()
         from ..fs.prover import MerklePath, Proof
         from ..fs.merkle_pruning import prune
-        parts = [t.reshape(-1) for t in self.transcript]
+        parts = [jnp.asarray(t).reshape(-1) for t in self.transcript]
         t_lens = [int(t.shape[0]) for t in parts]
         groups_meta = []
-        for leaf_rows, sibs, indices in self.merkle_hints:
+        for hint in self.merkle_hints:
+            if isinstance(hint, tuple) and len(hint) == 2 \
+                    and hint[0] == "pruned":
+                # host-tail group, already pruned (dtail.end_tail)
+                groups_meta.append(("pruned", hint[1]))
+                continue
+            leaf_rows, sibs, indices = hint
             parts += [leaf_rows.reshape(-1), sibs.reshape(-1),
                       indices.reshape(-1)]
             groups_meta.append((tuple(leaf_rows.shape), tuple(sibs.shape),
@@ -285,7 +291,11 @@ class DevProverState:
         off = sum(t_lens)
         transcript = blob[:off]
         merkle_groups = []
-        for (lshape, sshape, q) in groups_meta:
+        for meta in groups_meta:
+            if meta[0] == "pruned":
+                merkle_groups.append(meta[1])
+                continue
+            (lshape, sshape, q) = meta
             ln = int(np.prod(lshape))
             sn = int(np.prod(sshape))
             leaf_rows = blob[off:off + ln].reshape(lshape)

@@ -72,19 +72,54 @@ def prove_gkr_quotient_dev(prover_state, nums, dens):
     assert 1 << total_n_vars == n
     assert total_n_vars > N_VARS_TO_SEND_GKR_COEFFS
 
+    from .dtail import begin_tail, below, end_tail, fetch, upload
+
+    # device layer chain: stop once the next layer is sub-waterline
     layers = [(nums, dens)]
     cur_n, cur_d = nums, dens
+    n_dev_ups = 0
     for i in range(total_n_vars - N_VARS_TO_SEND_GKR_COEFFS):
+        if below(int(cur_n.shape[0]) // 2):
+            break
         cur_n, cur_d = _layer_up_fn(cur_n.ndim == 1)(cur_n, cur_d)
         layers.append((cur_n, cur_d))
+        n_dev_ups += 1
 
-    top_nums, top_dens = layers.pop()
-    prover_state.add_extension_scalars(top_nums)
-    prover_state.add_extension_scalars(top_dens)
+    n_host_ups = (total_n_vars - N_VARS_TO_SEND_GKR_COEFFS) - n_dev_ups
+    if n_host_ups > 0:
+        # host head: build + prove every sub-waterline layer (and the
+        # top coeffs) through the host implementation, then hand the
+        # claims back to the device big-layer loop
+        from ..poly import np_poly as pp
+        from ..protocols.gkr import _layer_up, _prove_layer
+        host_layers = []
+        hn, hd = fetch(cur_n), fetch(cur_d)
+        for _ in range(n_host_ups):
+            hn, hd = _layer_up(hn, hd)
+            host_layers.append((hn, hd))
+        top_nums, top_dens = host_layers.pop()
 
-    point = prover_state.sample_vec(N_VARS_TO_SEND_GKR_COEFFS)
-    claim_num = dpoly.deval_mle(top_nums, point)
-    claim_den = dpoly.deval_mle(top_dens, point)
+        hp = begin_tail(prover_state)
+        hp.add_extension_scalars(top_nums)
+        hp.add_extension_scalars(top_dens)
+        point_h = hp.sample_vec(N_VARS_TO_SEND_GKR_COEFFS)
+        claim_num_h = pp.eval_mle(top_nums, point_h)
+        claim_den_h = pp.eval_mle(top_dens, point_h)
+        for layer_nums, layer_dens in reversed(host_layers):
+            point_h, claim_num_h, claim_den_h = _prove_layer(
+                hp, layer_nums, layer_dens, point_h, claim_num_h,
+                claim_den_h)
+        end_tail(prover_state, hp)
+        point = upload(point_h)
+        claim_num = upload(claim_num_h)
+        claim_den = upload(claim_den_h)
+    else:
+        top_nums, top_dens = layers.pop()
+        prover_state.add_extension_scalars(top_nums)
+        prover_state.add_extension_scalars(top_dens)
+        point = prover_state.sample_vec(N_VARS_TO_SEND_GKR_COEFFS)
+        claim_num = dpoly.deval_mle(top_nums, point)
+        claim_den = dpoly.deval_mle(top_dens, point)
 
     for layer_nums, layer_dens in reversed(layers):
         point, claim_num, claim_den = _prove_layer_dev(
@@ -199,6 +234,15 @@ def _prove_layer_dev(prover_state, nums, dens, claim_point, claim_num,
                      claim_den):
     """(quotient_gkr/mod.rs:85-150; mirrors protocols/gkr._prove_layer)."""
     jax, jnp = _jax()
+    from .dtail import begin_tail, below, end_tail, fetch, upload
+    if below(int(nums.shape[0])):
+        from ..protocols.gkr import _prove_layer
+        hp = begin_tail(prover_state)
+        point_h, cn_h, cd_h = _prove_layer(
+            hp, fetch(nums), fetch(dens), fetch(claim_point),
+            fetch(claim_num), fetch(claim_den))
+        end_tail(prover_state, hp)
+        return upload(point_h), upload(cn_h), upload(cd_h)
     nl, nr = nums[0::2], nums[1::2]
     dl, dr = dens[0::2], dens[1::2]
     cols = [dpoly.dbit_reverse(c) for c in (nl, nr, dl, dr)]

@@ -258,13 +258,19 @@ def _expand_fn(n: int):
 
     @aot_jit
     def expand(y):
-        out = []
-        cur = y
-        for _ in range(n):
-            out.append(cur)
-            cur = jf.emul(cur, cur)
-        return (jnp.stack(out) if out
-                else jnp.zeros((0, EXT), jnp.uint32))
+        if n == 0:
+            return jnp.zeros((0, EXT), jnp.uint32)
+
+        # lax.scan, NOT an unrolled python loop: a pure-elementwise
+        # repeated-squaring chain inside one fusion makes XLA recompute
+        # the operand per use — exponential execution time (n=14 ran
+        # 15 s on XLA:CPU; n=22 never finished — the round-2..4 bench
+        # deadline killer). Scan iterations are fusion barriers.
+        def body(cur, _):
+            return jf.emul(cur, cur), cur
+
+        _, out = jax.lax.scan(body, y, None, length=n)
+        return out
 
     return expand
 

@@ -75,10 +75,14 @@ def _alpha_powers_fn(n: int):
 
     @aot_jit
     def powers(alpha):
-        out = [jnp.asarray(dpoly.eone_m())]
-        for _ in range(n):
-            out.append(jf.emul(out[-1], alpha))
-        return jnp.stack(out)
+        # scan, not an unrolled chain: see dpoly._expand_fn — a fused
+        # elementwise power chain is recomputed per use (exponential)
+        def body(cur, _):
+            return jf.emul(cur, alpha), cur
+
+        _, out = jax.lax.scan(body, jnp.asarray(dpoly.eone_m()), None,
+                              length=n + 1)
+        return out
 
     return powers
 

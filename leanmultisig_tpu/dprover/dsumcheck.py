@@ -273,7 +273,14 @@ def sumcheck_prove_dev(columns, comp_key, extra, eq_factor, prover_state,
     challenges = []
     round_idx = 0
     with_missing = missing is not None
-    for _ in range(n_rounds):
+    for round_no in range(n_rounds):
+        # --- waterline: finish the remaining rounds on host -------------
+        from .dtail import below
+        if below(int(columns[0].shape[0])):
+            return _finish_rounds_host(
+                columns, comp_key, extra, eq_point, eq_table, prover_state,
+                sum_, n_rounds - round_no, pow_bits, missing, degree,
+                challenges, round_idx)
         if is_product:
             base_evals = columns[0].ndim == 1
             coeffs = _product_round_fn(base_evals)(columns[0], columns[1],
@@ -317,3 +324,47 @@ def sumcheck_prove_dev(columns, comp_key, extra, eq_factor, prover_state,
     challenges = (jnp.stack(challenges) if challenges
                   else jnp.zeros((0, EXT), jnp.uint32))
     return challenges, columns, sum_
+
+
+def _host_computation(comp_key: str, extra_h):
+    """Host np computation matching a device comp_key registration."""
+    from ..sumcheck.np_sumcheck import ProductComputation
+    if comp_key == "product":
+        return ProductComputation(), None
+    if comp_key == "gkr_quotient":
+        from ..protocols.gkr import _QuotientLayerComputation
+        return _QuotientLayerComputation(extra_h), None
+    raise KeyError(comp_key)
+
+
+def _finish_rounds_host(columns, comp_key, extra, eq_point, eq_table,
+                        prover_state, sum_, remaining, pow_bits, missing,
+                        degree, dev_challenges, round_idx):
+    """Fetch the sub-waterline sumcheck state and run the remaining
+    rounds through np_sumcheck (bit-exact; see dtail docstring). Results
+    are re-uploaded so callers keep device semantics."""
+    _, jnp = _jax()
+    from ..sumcheck.np_sumcheck import sumcheck_prove
+    from .dtail import begin_tail, end_tail, fetch, upload
+
+    cols_h = [fetch(c) for c in columns]
+    sum_h = fetch(sum_)
+    extra_h = fetch(extra) if extra is not None else None
+    comp_h, _ = _host_computation(comp_key, extra_h)
+    eqf_h = None
+    eqt_h = None
+    if eq_point is not None:
+        eqf_h = list(fetch(eq_point[round_idx:]))
+        eqt_h = fetch(eq_table)
+    missing_h = fetch(missing) if missing is not None else None
+
+    hp = begin_tail(prover_state)
+    ch_h, cols_out_h, sum_out_h = sumcheck_prove(
+        cols_h, comp_h, extra_h, eqf_h, hp, sum_h, n_rounds=remaining,
+        pow_bits=pow_bits, missing_mul_factor=missing_h, eq_table=eqt_h)
+    end_tail(prover_state, hp)
+
+    challenges = list(dev_challenges) + [upload(c) for c in ch_h]
+    challenges = (jnp.stack(challenges) if challenges
+                  else jnp.zeros((0, EXT), jnp.uint32))
+    return challenges, [upload(c) for c in cols_out_h], upload(sum_out_h)

@@ -77,9 +77,28 @@ def sample_ood_points_dev(prover_state, num_samples: int, num_variables: int,
     return ood_points, ood_answers
 
 
+def _whir_host(n_rows: int) -> bool:
+    """Whole-round host threshold: a WHIR round at size n folds down
+    through n >> k shapes — hand the round to the host a little above
+    the element waterline so its internal folds don't generate
+    sub-waterline device programs."""
+    from .dtail import waterline
+    wl = waterline()
+    return wl > 0 and n_rows <= (1 << min(wl + 3, 31))
+
+
 def commit_dev(config: WhirConfig, prover_state, polynomial,
                actual_data_len: int | None = None) -> DWitness:
     """(commit.rs:64-99). polynomial: (2^n,) base monty device."""
+    if _whir_host(int(polynomial.shape[0])):
+        # sub-waterline commitment: host tree + host FS (dtail)
+        from ..whir.prover import commit as host_commit
+        from .dtail import begin_tail, end_tail, fetch
+        hp = begin_tail(prover_state)
+        hw = host_commit(config, hp, fetch(polynomial), actual_data_len)
+        end_tail(prover_state, hp)
+        return hw  # whir.prover.Witness — open_dev detects and stays host
+
     n_blocks = 1 << config.folding_factor.at_round(0)
     evals_len = 1 << config.num_variables
     assert polynomial.shape[0] == evals_len
@@ -404,14 +423,39 @@ class _DevSumcheckState:
             gamma_pow)
 
 
+def _statements_to_host(statements: list):
+    from ..whir.statement import SparseStatement, SparseValue
+    from .dtail import fetch
+    out = []
+    for s in statements:
+        out.append(SparseStatement(
+            s.total_num_variables, fetch(s.point),
+            [SparseValue(v.selector, fetch(v.value)) for v in s.values],
+            is_next=s.is_next))
+    return out
+
+
 def open_dev(config: WhirConfig, prover_state, statements: list,
-             witness: DWitness, polynomial):
+             witness, polynomial):
     """Device WHIR opening proof (open.rs:36-180); returns the final
     folding randomness (n, 5) monty device."""
     jax, jnp = _jax()
     assert config.num_variables == (
         config.folding_factor.total_number(config.n_rounds())
         + config.final_sumcheck_rounds)
+
+    from ..whir.prover import Witness as HostWitness
+    if isinstance(witness, HostWitness):
+        # sub-waterline opening: the commitment was host-side, the whole
+        # opening argument runs host-side too (dtail)
+        from ..whir.prover import open_ as host_open
+        from .dtail import begin_tail, end_tail, fetch, upload
+        host_statements = _statements_to_host(statements)
+        hp = begin_tail(prover_state)
+        rand = host_open(config, hp, host_statements, witness,
+                         fetch(polynomial))
+        end_tail(prover_state, hp)
+        return upload(rand)
 
     ood_statements = []
     for i in range(int(witness.ood_points.shape[0])):
@@ -438,6 +482,10 @@ def open_dev(config: WhirConfig, prover_state, statements: list,
     merkle_tree = witness.tree
 
     for round_index in range(config.n_rounds()):
+        if _whir_host(int(state.evals.shape[0])):
+            return _host_continue_open(
+                config, prover_state, state, merkle_tree, randomness_vec,
+                domain_size, next_domain_gen_log, round_index)
         round_params = config.round_parameters[round_index]
         num_variables = (config.num_variables
                          - config.folding_factor.total_number(round_index))
@@ -499,6 +547,11 @@ def open_dev(config: WhirConfig, prover_state, statements: list,
                                - folding_factor_next)
         merkle_tree = new_tree
 
+    if _whir_host(int(state.evals.shape[0])):
+        return _host_continue_open(
+            config, prover_state, state, merkle_tree, randomness_vec,
+            domain_size, next_domain_gen_log, config.n_rounds())
+
     # final round (open.rs:182-248)
     coeffs = dpoly.devals_to_coeffs(state.evals)
     prover_state.add_extension_scalars(coeffs)
@@ -518,3 +571,27 @@ def open_dev(config: WhirConfig, prover_state, statements: list,
             [final_challenges[i] for i in range(final_challenges.shape[0])])
 
     return jnp.stack(randomness_vec)
+
+
+def _host_continue_open(config: WhirConfig, prover_state, state,
+                        merkle_tree, randomness_vec, domain_size: int,
+                        next_domain_gen_log: int, start_round: int):
+    """Hand the remaining WHIR rounds to the host implementation once
+    the fold state drops below the waterline (dtail docstring)."""
+    import jax
+    _, jnp = _jax()
+    from ..whir.prover import _SumcheckSingle, open_rounds
+    from .dtail import (DevTreeHostView, begin_tail, end_tail, fetch,
+                        upload)
+
+    state_h = _SumcheckSingle(fetch(state.evals), fetch(state.weights),
+                              fetch(state.sum))
+    tree_h = (merkle_tree if not isinstance(merkle_tree, DevMerkleTree)
+              else DevTreeHostView(merkle_tree))
+    rand_h = ([] if not randomness_vec
+              else list(fetch(jnp.stack(randomness_vec))))
+    hp = begin_tail(prover_state)
+    rand = open_rounds(config, hp, state_h, tree_h, rand_h, domain_size,
+                       next_domain_gen_log, start_round)
+    end_tail(prover_state, hp)
+    return upload(rand)

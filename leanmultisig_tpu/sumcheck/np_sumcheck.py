@@ -127,11 +127,16 @@ def _product_round_coeffs(evals, weights, sum_):
 
 
 def sumcheck_prove(columns, computation, extra, eq_factor, prover_state, sum_,
-                   n_rounds=None, pow_bits=0, missing_mul_factor=None):
+                   n_rounds=None, pow_bits=0, missing_mul_factor=None,
+                   eq_table=None):
     """Run the sumcheck prover.
 
     columns: list of (2^n,) base or (2^n, 5) EF tables.
     eq_factor: optional (n, 5) EF point alpha (claim includes eq(alpha, x)).
+    eq_table: optional precomputed table for eq_factor[1:] — pass the
+    SLICED table when resuming a sumcheck mid-protocol (the slicing
+    convention folds (1-alpha) prefactors into the table, compensated by
+    missing_mul_factor; a freshly built table would not match).
     Returns (challenges (k,5), folded_columns, final_sum).
     """
     n_vars = int(np.log2(columns[0].shape[0]))
@@ -140,13 +145,15 @@ def sumcheck_prove(columns, computation, extra, eq_factor, prover_state, sum_,
     sum_ = np.asarray(sum_, np.uint32)
 
     eq_point = None
-    eq_table = None
     if eq_factor is not None:
         eq_point = [np.asarray(a, np.uint32) for a in eq_factor]
         assert len(eq_point) == n_vars
-        rest = (np.stack(eq_point[1:]) if n_vars > 1
-                else np.zeros((0, EXT_DIM), np.uint32))
-        eq_table = pp.eval_eq(rest)  # size 2^(n-1), truncated each round
+        if eq_table is None:
+            rest = (np.stack(eq_point[1:]) if n_vars > 1
+                    else np.zeros((0, EXT_DIM), np.uint32))
+            eq_table = pp.eval_eq(rest)  # size 2^(n-1), truncated per round
+    else:
+        eq_table = None
 
     is_product = (isinstance(computation, ProductComputation)
                   and eq_factor is None and missing_mul_factor is None)

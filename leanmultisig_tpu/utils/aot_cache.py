@@ -228,8 +228,13 @@ class AotJit:
             print(f"[aot] MISS {self._fn.__qualname__}", flush=True)
         jitted = self._plain_jit()
         try:
+            import time
+            t0 = time.perf_counter()
             ex = jax.export.export(jitted)(*args)
             blob = ex.serialize()
+            if debug:
+                print(f"[aot] EXPORT {self._fn.__qualname__} "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(blob)
@@ -243,6 +248,24 @@ class AotJit:
         return jax.jit(ex.call)
 
     def __call__(self, *args):
+        if os.environ.get("LMS_SYNC_DISPATCH") == "1":
+            # debug/workaround knob: serialize the dispatch stream
+            import time
+
+            import jax
+            debug = os.environ.get("LMS_AOT_DEBUG") == "1"
+            t0 = time.perf_counter()
+            if debug:
+                print(f"[aot] CALL {self._fn.__qualname__}", flush=True)
+            out = self._dispatch(*args)
+            jax.block_until_ready(out)
+            if debug:
+                print(f"[aot] DONE {self._fn.__qualname__} "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
+            return out
+        return self._dispatch(*args)
+
+    def _dispatch(self, *args):
         if self._broken or os.environ.get("LMS_AOT_CACHE", "1") != "1":
             return self._plain_jit()(*args)
         from ..dprover.dshard import current_mesh
@@ -293,20 +316,25 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
     if max_workers is None:
         max_workers = int(os.environ.get("LMS_PREWARM_WORKERS", "16"))
     path = os.path.join(cache_dir(), f"manifest_{tag}.json")
-    if os.path.exists(path):
+    targeted = os.path.exists(path)
+    if targeted:
         with open(path) as f:
             names = json.load(f)
     else:
         # No manifest for this workload yet: pre-warm every artifact on
-        # disk instead. A superset costs some extra loads but still
-        # turns ~6-12 min of serial first-dispatch loads into a ~1-2 min
-        # parallel pass (all artifacts come from this repo's workloads).
+        # disk instead, but WITHOUT the run-once execution (an untargeted
+        # superset may include kernels from unrelated shape regimes —
+        # executing them all with zero inputs risks OOM and wasted work;
+        # see ADVICE r4). Artifacts exported for another backend are
+        # skipped after deserialization in both paths.
         names = sorted(n for n in os.listdir(cache_dir())
                        if n.endswith(".jaxexp"))
         if not names:
             return 0
 
-    run_once = os.environ.get("LMS_PREWARM_EXEC", "1") == "1"
+    run_once = (targeted
+                and os.environ.get("LMS_PREWARM_EXEC", "1") == "1")
+    backend = jax.default_backend()
 
     def load(name: str):
         fpath = os.path.join(cache_dir(), name)
@@ -315,6 +343,8 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
         try:
             with open(fpath, "rb") as fh:
                 ex = jax.export.deserialize(bytearray(fh.read()))
+            if backend not in {p.lower() for p in ex.platforms}:
+                return None  # exported for a different backend
             args = jax.tree.unflatten(
                 ex.in_tree,
                 [jax.ShapeDtypeStruct(a.shape, a.dtype)
@@ -327,21 +357,19 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
                     ex.in_tree,
                     [jnp.zeros(a.shape, a.dtype) for a in ex.in_avals])
                 out = compiled(*zeros[0], **zeros[1])
+                # block per-kernel so retained outputs don't accumulate
+                jax.block_until_ready(out)
+                out = None
             return name, compiled, out
         except Exception:
             return None
 
     n = 0
-    outs = []
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         for res in pool.map(load, names):
             if res is not None:
                 _PRELOADED[res[0]] = res[1]
-                if res[2] is not None:
-                    outs.append(res[2])
                 n += 1
-    if outs:
-        jax.block_until_ready(outs)
     return n
 
 

@@ -43,7 +43,12 @@ def configure_persistent_cache(base_dir: str | None = None) -> str:
     base = base_dir or os.environ.get(
         "LMS_XLA_CACHE", os.path.join(repo, ".jax_cache", "host"))
     cache = f"{base}_{machine_fingerprint()}"
-    os.makedirs(cache, exist_ok=True)
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:  # read-only install: fall back to the user cache dir
+        cache = os.path.join(os.path.expanduser("~/.cache/lms_xla"),
+                             machine_fingerprint())
+        os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

@@ -148,8 +148,20 @@ def open_(config: WhirConfig, prover_state,
     next_domain_gen_log = (domain_size.bit_length() - 1
                            - config.folding_factor.at_round(0))
     merkle_tree = witness.prover_data
+    return open_rounds(config, prover_state, state, merkle_tree,
+                       randomness_vec, domain_size, next_domain_gen_log, 0)
 
-    for round_index in range(config.n_rounds()):
+
+def open_rounds(config: WhirConfig, prover_state, state, merkle_tree,
+                randomness_vec: list, domain_size: int,
+                next_domain_gen_log: int, start_round: int) -> np.ndarray:
+    """WHIR opening rounds from `start_round` through the final round.
+
+    Factored out of open_ so the device prover can hand a mid-protocol
+    state over to the host once it folds below the waterline
+    (dprover/dtail.py); `merkle_tree` may be a host WhirMerkleTree or
+    any object with an `open_batch(indexes)` method."""
+    for round_index in range(start_round, config.n_rounds()):
         round_params = config.round_parameters[round_index]
         # total_number(r) = first + sub*r — the vars already folded away
         # entering round r (open.rs:65)
@@ -236,14 +248,19 @@ def open_(config: WhirConfig, prover_state,
     return np.stack(randomness_vec)
 
 
-def _open_and_hint(tree: WhirMerkleTree, prover_state,
+def _open_and_hint(tree, prover_state,
                    indexes: list[int]) -> list[np.ndarray]:
-    """Open leaves, hint the merkle paths, return leaf values as MLEs."""
+    """Open leaves, hint the merkle paths, return leaf values as MLEs.
+    `tree` is a WhirMerkleTree or a device-tree view exposing
+    open_batch(indexes) (dprover/dtail.DevTreeHostView)."""
     from ..fs.prover import MerklePath
     paths = []
     answers = []
-    for idx in indexes:
-        leaf_base, siblings = tree.open(idx)
+    if hasattr(tree, "open_batch"):
+        opened = tree.open_batch(list(indexes))
+    else:
+        opened = [tree.open(idx) for idx in indexes]
+    for (leaf_base, siblings), idx in zip(opened, indexes):
         paths.append(MerklePath(leaf_base, siblings, idx))
         if tree.is_ext:
             answers.append(leaf_base.reshape(-1, EXT_DIM))
