@@ -789,11 +789,17 @@ def _finish_air_host(prover_state, sessions, eta_powers, k, dev_challenges,
     from ..field import np_field as nf
     from ..fs.prover import expand_bare_to_full
     from ..protocols.air_sumcheck import AirSumcheckSession
-    from .dtail import begin_tail, end_tail, fetch, upload
+    from .dtail import begin_tail, end_tail, fetch_many, upload
 
-    alpha_powers_h = fetch(sessions[0].alpha_powers)
-    alphas_eq_h = fetch(sessions[0].alphas_eq)
-    bus_beta_h = fetch(sessions[0].bus_beta)
+    # one overlapped batch for EVERYTHING the host continuation needs
+    flat = [sessions[0].alpha_powers, sessions[0].alphas_eq,
+            sessions[0].bus_beta]
+    for s in sessions:
+        flat += list(s.cols) + [s.eq_y, s.sum, s.missing]
+    flat += list(eta_powers) + list(k)
+    vals = fetch_many(flat)
+    alpha_powers_h, alphas_eq_h, bus_beta_h = vals[:3]
+    pos = 3
     extra = ExtraDataForBuses(alphas_eq_h, bus_beta_h)
 
     host_sessions = []
@@ -802,17 +808,20 @@ def _finish_air_host(prover_state, sessions, eta_powers, k, dev_challenges,
         hs.table = s.table
         hs.air = s.air
         hs.n_vars = s.n_vars
-        hs.cols = [fetch(c) for c in s.cols]
-        hs.eq_y = fetch(s.eq_y)
-        hs.sum = fetch(s.sum)
-        hs.missing = fetch(s.missing)
+        n_c = len(s.cols)
+        hs.cols = vals[pos:pos + n_c]
+        hs.eq_y = vals[pos + n_c]
+        hs.sum = vals[pos + n_c + 1]
+        hs.missing = vals[pos + n_c + 2]
+        pos += n_c + 3
         hs.alpha_powers = alpha_powers_h
         hs.extra_data = extra
         hs.rounds_done = s.rounds_done
         host_sessions.append(hs)
 
-    eta_powers_h = [fetch(e) for e in eta_powers]
-    k_h = [fetch(x) for x in k]
+    eta_powers_h = vals[pos:pos + len(eta_powers)]
+    pos += len(eta_powers)
+    k_h = vals[pos:pos + len(k)]
 
     hp = begin_tail(prover_state)
     challenges_h = []

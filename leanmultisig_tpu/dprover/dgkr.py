@@ -92,8 +92,9 @@ def prove_gkr_quotient_dev(prover_state, nums, dens):
         # claims back to the device big-layer loop
         from ..poly import np_poly as pp
         from ..protocols.gkr import _layer_up, _prove_layer
+        from .dtail import fetch_many
         host_layers = []
-        hn, hd = fetch(cur_n), fetch(cur_d)
+        hn, hd = fetch_many([cur_n, cur_d])
         for _ in range(n_host_ups):
             hn, hd = _layer_up(hn, hd)
             host_layers.append((hn, hd))
@@ -234,13 +235,14 @@ def _prove_layer_dev(prover_state, nums, dens, claim_point, claim_num,
                      claim_den):
     """(quotient_gkr/mod.rs:85-150; mirrors protocols/gkr._prove_layer)."""
     jax, jnp = _jax()
-    from .dtail import begin_tail, below, end_tail, fetch, upload
+    from .dtail import begin_tail, below, end_tail, fetch_many, upload
     if below(int(nums.shape[0])):
         from ..protocols.gkr import _prove_layer
+        nums_h, dens_h, pt_h, cn0_h, cd0_h = fetch_many(
+            [nums, dens, claim_point, claim_num, claim_den])
         hp = begin_tail(prover_state)
-        point_h, cn_h, cd_h = _prove_layer(
-            hp, fetch(nums), fetch(dens), fetch(claim_point),
-            fetch(claim_num), fetch(claim_den))
+        point_h, cn_h, cd_h = _prove_layer(hp, nums_h, dens_h, pt_h,
+                                           cn0_h, cd0_h)
         end_tail(prover_state, hp)
         return upload(point_h), upload(cn_h), upload(cd_h)
     nl, nr = nums[0::2], nums[1::2]

@@ -345,18 +345,32 @@ def _finish_rounds_host(columns, comp_key, extra, eq_point, eq_table,
     are re-uploaded so callers keep device semantics."""
     _, jnp = _jax()
     from ..sumcheck.np_sumcheck import sumcheck_prove
-    from .dtail import begin_tail, end_tail, fetch, upload
+    from .dtail import begin_tail, end_tail, fetch_many, upload
 
-    cols_h = [fetch(c) for c in columns]
-    sum_h = fetch(sum_)
-    extra_h = fetch(extra) if extra is not None else None
+    flat = list(columns) + [sum_]
+    if extra is not None:
+        flat.append(extra)
+    if eq_point is not None:
+        flat += [eq_point[round_idx:], eq_table]
+    if missing is not None:
+        flat.append(missing)
+    vals = fetch_many(flat)
+    cols_h = vals[:len(columns)]
+    pos = len(columns)
+    sum_h = vals[pos]
+    pos += 1
+    extra_h = None
+    if extra is not None:
+        extra_h = vals[pos]
+        pos += 1
     comp_h, _ = _host_computation(comp_key, extra_h)
     eqf_h = None
     eqt_h = None
     if eq_point is not None:
-        eqf_h = list(fetch(eq_point[round_idx:]))
-        eqt_h = fetch(eq_table)
-    missing_h = fetch(missing) if missing is not None else None
+        eqf_h = list(vals[pos])
+        eqt_h = vals[pos + 1]
+        pos += 2
+    missing_h = vals[pos] if missing is not None else None
 
     hp = begin_tail(prover_state)
     ch_h, cols_out_h, sum_out_h = sumcheck_prove(

@@ -53,6 +53,23 @@ def fetch(x) -> np.ndarray:
     return jf.from_monty_np(np.asarray(jax.device_get(x)))
 
 
+def fetch_many(arrays: list) -> list:
+    """Batched fetch: start every device->host copy asynchronously, then
+    materialize. A tunneled TPU costs ~30 ms per SYNC fetch round trip;
+    a phase handing hundreds of columns to the host tail must overlap
+    them (the AIR tail alone fetches ~300 columns — serial round trips
+    were ~10 s, the entire phase budget)."""
+    import jax
+    from ..field import jnp_field as jf
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+    return [jf.from_monty_np(np.asarray(jax.device_get(a)))
+            for a in arrays]
+
+
 def upload(x):
     """Canonical host np array -> monty device array."""
     from .dfs import to_dev_monty

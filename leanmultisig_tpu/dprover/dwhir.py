@@ -425,13 +425,23 @@ class _DevSumcheckState:
 
 def _statements_to_host(statements: list):
     from ..whir.statement import SparseStatement, SparseValue
-    from .dtail import fetch
-    out = []
+    from .dtail import fetch_many
+    flat = []
     for s in statements:
-        out.append(SparseStatement(
-            s.total_num_variables, fetch(s.point),
-            [SparseValue(v.selector, fetch(v.value)) for v in s.values],
-            is_next=s.is_next))
+        flat.append(s.point)
+        flat += [v.value for v in s.values]
+    vals = fetch_many(flat)
+    out = []
+    pos = 0
+    for s in statements:
+        point = vals[pos]
+        pos += 1
+        svals = []
+        for v in s.values:
+            svals.append(SparseValue(v.selector, vals[pos]))
+            pos += 1
+        out.append(SparseStatement(s.total_num_variables, point, svals,
+                                   is_next=s.is_next))
     return out
 
 
@@ -581,15 +591,17 @@ def _host_continue_open(config: WhirConfig, prover_state, state,
     import jax
     _, jnp = _jax()
     from ..whir.prover import _SumcheckSingle, open_rounds
-    from .dtail import (DevTreeHostView, begin_tail, end_tail, fetch,
+    from .dtail import (DevTreeHostView, begin_tail, end_tail, fetch_many,
                         upload)
 
-    state_h = _SumcheckSingle(fetch(state.evals), fetch(state.weights),
-                              fetch(state.sum))
+    flat = [state.evals, state.weights, state.sum]
+    if randomness_vec:
+        flat.append(jnp.stack(randomness_vec))
+    vals = fetch_many(flat)
+    state_h = _SumcheckSingle(vals[0], vals[1], vals[2])
     tree_h = (merkle_tree if not isinstance(merkle_tree, DevMerkleTree)
               else DevTreeHostView(merkle_tree))
-    rand_h = ([] if not randomness_vec
-              else list(fetch(jnp.stack(randomness_vec))))
+    rand_h = list(vals[3]) if randomness_vec else []
     hp = begin_tail(prover_state)
     rand = open_rounds(config, hp, state_h, tree_h, rand_h, domain_size,
                        next_domain_gen_log, start_round)

@@ -204,7 +204,30 @@ def test_dev_full_prove_matches_host():
     verify_execution(bc, pub, dp, builder)
 
 
-def test_dev_whir_commit_open_matches_host():
+def test_dev_full_prove_low_waterline(monkeypatch):
+    """Same transcript equality with the waterline forced LOW (2^10) so
+    the device kernels — not the host tails — carry more of the rounds:
+    covers the device sumcheck/GKR/AIR round kernels at fixture sizes
+    that the default waterline hands to the host."""
+    monkeypatch.setenv("LMS_WATERLINE", "10")
+    from test_e2e import _test_builder
+    from test_vm import build_program
+    from leanmultisig_tpu.prover.prove import prove_execution
+    from leanmultisig_tpu.dprover.dprove import prove_execution_dev
+    from leanmultisig_tpu.vm import ExecutionWitness
+
+    bc = build_program()
+    pub = [5, 6, 7]
+    builder = _test_builder()
+    hp, _ = prove_execution(bc, pub, ExecutionWitness(), builder)
+    dp, _ = prove_execution_dev(bc, pub, ExecutionWitness(), builder)
+    assert np.array_equal(hp.transcript, dp.transcript)
+
+
+def test_dev_whir_commit_open_matches_host(monkeypatch):
+    # waterline at 2^8 so the 2^12 commit and the early opening rounds
+    # exercise the DEVICE kernels (default waterline would host the lot)
+    monkeypatch.setenv("LMS_WATERLINE", "8")
     from leanmultisig_tpu.fs.prover import ProverState
     from leanmultisig_tpu.dprover.dfs import DevProverState
     from leanmultisig_tpu.whir.config import WhirConfig

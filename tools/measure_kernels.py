@@ -39,6 +39,7 @@ def main():
         proof, _ = prove_execution_dev(bc, pub, ExecutionWitness(), builder)
     else:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 70
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
         os.environ["LMS_DPROVE"] = "1"
         import numpy as np
         from leanmultisig_tpu.aggregation.driver import (aggregate,
@@ -53,7 +54,11 @@ def main():
         pub_keys = [pk for _, pk in signers]
         cfg = default_whir_config_builder(1)
         t0 = time.time()
-        aggregate(message, pub_keys, sigs, cfg, native_check=False)
+        for r in range(max(reps, 1)):
+            t1 = time.time()
+            aggregate(message, pub_keys, sigs, cfg, native_check=False)
+            print(f"rep {r}: {time.time() - t1:.1f}s", file=sys.stderr,
+                  flush=True)
     dt = time.time() - t0
     used = aot_cache._USED
     print(f"mode={mode} wall={dt:.1f}s dispatches={len(used)} "
