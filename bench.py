@@ -149,6 +149,7 @@ def _device_child(n_sigs: int) -> int:
     """Runs in a subprocess: full device bench, prints the JSON line.
     Exit 3 = no accelerator visible (parent falls back to host)."""
     _configure_jax_cache()
+    os.environ.setdefault("LMS_PREWARM_WORKERS", "32")  # loads are RTT-bound
     import jax
     if jax.devices()[0].platform == "cpu":
         return 3
@@ -166,16 +167,15 @@ def _run_device_subprocess(n_sigs: int, budget_s: float) -> dict | None:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-child",
              str(n_sigs)],
-            capture_output=True, text=True, timeout=budget_s,
+            stdout=subprocess.PIPE, stderr=None, text=True,
+            timeout=budget_s,
             cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
     except (subprocess.TimeoutExpired, OSError) as e:
         print(f"[bench] device attempt failed: {type(e).__name__}",
               file=sys.stderr)
         return None
     if r.returncode != 0:
-        tail = (r.stderr or "").strip().splitlines()[-3:]
-        print(f"[bench] device child rc={r.returncode}: {tail}",
-              file=sys.stderr)
+        print(f"[bench] device child rc={r.returncode}", file=sys.stderr)
         return None
     for line in reversed((r.stdout or "").strip().splitlines()):
         try:
