@@ -136,13 +136,11 @@ def bench_xmss_aggregation(n_sigs: int, prover: str,
 
 
 def _configure_jax_cache() -> None:
-    import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    # the SAME fingerprinted dir as tests/tools (utils.xla_cache) — a
+    # second cache root would recompile everything the tools already
+    # compiled on this machine
+    from leanmultisig_tpu.utils.xla_cache import configure_persistent_cache
+    configure_persistent_cache()
 
 
 def _device_child(n_sigs: int) -> int:

@@ -150,6 +150,21 @@ def _cmd_tree_bench(args) -> int:
     return 0
 
 
+def _cmd_fancy_bench(args) -> int:
+    """The reference FancyAggregation preset (src/main.rs:114-178) over
+    the unified self-referential program."""
+    from .aggregation.benchmark import (fancy_topology, render_tree,
+                                        run_tree_topology_benchmark)
+    from .whir.config import default_whir_config_builder
+    builder = default_whir_config_builder(args.log_inv_rate)
+    tree = fancy_topology(scale=args.scale)
+    report = run_tree_topology_benchmark(tree, builder, seed=args.seed,
+                                         reps=args.reps)
+    print(render_tree(report), file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
 def _cmd_verify(args) -> int:
     from .compiler import compile_program
     from .prover.verify import verify_execution
@@ -211,6 +226,18 @@ def main(argv=None) -> int:
     tb.add_argument("--reps", type=int, default=3,
                     help="timed reps per node (mean +/- 95%% CI)")
     tb.set_defaults(fn=_cmd_tree_bench)
+
+    fb = sub.add_parser("fancy-bench",
+                        help="the reference FancyAggregation topology "
+                             "(depth-5 mixed raw/recursive tree, "
+                             "src/main.rs:114-178) on unified bytecode")
+    fb.add_argument("--scale", type=int, default=1,
+                    help="divide every raw-signature count by this "
+                         "(same shape, smaller nodes)")
+    fb.add_argument("--log-inv-rate", type=int, default=1)
+    fb.add_argument("--seed", type=int, default=42)
+    fb.add_argument("--reps", type=int, default=1)
+    fb.set_defaults(fn=_cmd_fancy_bench)
 
     v = sub.add_parser("verify", help="verify a proof artifact")
     v.add_argument("source")

@@ -224,6 +224,119 @@ def run_unified_benchmark(topology: AggregationTopology, builder,
     }
 
 
+@dataclass
+class TreeTopology:
+    """Arbitrary aggregation tree (reference AggregationTopology,
+    benchmark.rs:14-19): each node verifies `raw_xmss` signatures
+    in-circuit AND recursively wraps its children's proofs. The
+    reference's per-node log_inv_rate / overlap fields are accepted for
+    preset parity but a run uses ONE rate (the builder's) — per-node
+    rates would need one unified bytecode per config, and overlap
+    (shared signers between siblings) only changes the signer set
+    construction, not the proving work."""
+    raw_xmss: int
+    children: list = field(default_factory=list)
+    log_inv_rate: int = 1
+    overlap: int = 0
+
+    def total_signatures(self) -> int:
+        return self.raw_xmss + sum(c.total_signatures()
+                                   for c in self.children)
+
+    def max_node_sigs(self) -> int:
+        own = self.raw_xmss + sum(c.total_signatures()
+                                  for c in self.children)
+        return max([own] + [c.max_node_sigs() for c in self.children])
+
+    def max_fanout(self) -> int:
+        return max([len(self.children)]
+                   + [c.max_fanout() for c in self.children])
+
+    def depth(self) -> int:
+        return 1 + max((c.depth() for c in self.children), default=0)
+
+
+def fancy_topology(scale: int = 1) -> TreeTopology:
+    """The reference's FancyAggregation preset (src/main.rs:114-178):
+    a depth-5 mixed tree over 5666 signatures. `scale` divides every
+    raw count (minimum 1) so the same SHAPE runs at reduced size."""
+    def s(n: int) -> int:
+        return max(1, n // scale)
+
+    deep_pair = lambda rate: TreeTopology(0, [  # noqa: E731
+        TreeTopology(s(1550), [], rate), TreeTopology(s(508), [], 2)], 2,
+        overlap=10)
+    return TreeTopology(0, [
+        TreeTopology(s(10), [
+            TreeTopology(s(25), [deep_pair(1), deep_pair(2)], 1,
+                         overlap=5),
+            TreeTopology(0, [TreeTopology(s(775), [], 2),
+                             TreeTopology(s(775), [], 2)], 2),
+        ], 2),
+    ], 2)
+
+
+def run_tree_topology_benchmark(tree: TreeTopology, builder,
+                                seed: int = 42, verify: bool = True,
+                                reps: int = 1) -> dict:
+    """Run an ARBITRARY topology over the unified self-referential
+    program (every node is a proof of the same bytecode; raw signatures
+    and recursive children mix freely at each node — main.rs
+    FancyAggregation analog)."""
+    from . import unified_driver as UD
+
+    rng = np.random.default_rng(seed)
+    total = tree.total_signatures()
+    up = UD.compile_unified(tree.max_node_sigs(),
+                            max(tree.max_fanout(), 1), builder)
+
+    slot = 111
+    message = rng.integers(0, P, size=8, dtype=np.uint32)
+    signers = make_signers(total, slot)
+    sigs_all = sign_all(signers, message, slot)
+    pub_keys = [pk for _, pk in signers]
+    cursor = [0]
+
+    def take(n: int):
+        lo = cursor[0]
+        cursor[0] += n
+        return pub_keys[lo:lo + n], sigs_all[lo:lo + n]
+
+    t_total = time.perf_counter()
+
+    def walk(node: TreeTopology):
+        child_results = [walk(c) for c in node.children]
+        pks, sigs = take(node.raw_xmss)
+        if not node.children:
+            proof, dt, ci = _timed(
+                lambda: UD.prove_leaf(up, message, pks, sigs, slot), reps)
+        else:
+            raw = (pks, sigs) if node.raw_xmss else None
+            proof, dt, ci = _timed(
+                lambda: UD.prove_node(
+                    up, [p for p, _ in child_results], message, slot,
+                    raw=raw), reps)
+        stats = NodeStats(
+            "leaf" if not node.children else "merge",
+            node.raw_xmss + sum(s.n_xmss for _, s in child_results),
+            dt, proof.proof.proof_size_fe() * 4 / 1024,
+            proof.metadata["cycles"], ci95_s=ci,
+            children=[s for _, s in child_results])
+        return proof, stats
+
+    root_proof, root_stats = walk(tree)
+    if verify:
+        UD.verify_root(up, root_proof)
+    total_s = time.perf_counter() - t_total
+    return {
+        "topology": "tree", "unified": True, "depth": tree.depth(),
+        "total_signatures": total,
+        "total_s": round(total_s, 2),
+        "sigs_per_s": round(total / total_s, 4),
+        "root": root_stats.as_dict(),
+    }
+
+
 def render_tree(report: dict) -> str:
     """Live-tree style rendering (benchmark.rs:491+ analog)."""
     lines = [f"aggregation tree {report['topology']}: "

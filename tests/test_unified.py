@@ -102,3 +102,26 @@ def test_root_rejects_forgeries(uap, tree):
     bad3.input_data[1] = 3
     with pytest.raises((ProofError, AssertionError)):
         UD.verify_root(uap, bad3)
+
+
+@pytest.mark.skipif(not __import__('os').environ.get("LMS_SLOW_TESTS"),
+                    reason="depth-3 fancy-shaped tree is slow; "
+                           "LMS_SLOW_TESTS=1")
+def test_depth3_mixed_tree_fancy_shape():
+    """Depth-3 tree with raw signatures MIXED into an inner node — the
+    shape class of the reference FancyAggregation preset
+    (src/main.rs:114-178) at unit scale, over ONE unified bytecode."""
+    import test_e2e
+    from leanmultisig_tpu.aggregation.benchmark import (
+        TreeTopology, run_tree_topology_benchmark)
+
+    tree = TreeTopology(1, [  # root verifies 1 raw sig + 2 children
+        TreeTopology(2),      # leaf of 2
+        TreeTopology(0, [TreeTopology(1), TreeTopology(1)]),
+    ])
+    assert tree.depth() == 3 and tree.total_signatures() == 5
+    report = run_tree_topology_benchmark(tree, test_e2e._test_builder(),
+                                         verify=True)
+    assert report["depth"] == 3
+    assert report["total_signatures"] == 5
+    assert report["root"]["n_xmss"] == 5
