@@ -122,10 +122,12 @@ def prove_gkr_quotient_dev(prover_state, nums, dens):
         claim_num = dpoly.deval_mle(top_nums, point)
         claim_den = dpoly.deval_mle(top_dens, point)
 
-    for layer_nums, layer_dens in reversed(layers):
+    while layers:  # pop so a consumed layer's buffers free immediately
+        layer_nums, layer_dens = layers.pop()
         point, claim_num, claim_den = _prove_layer_dev(
             prover_state, layer_nums, layer_dens, point, claim_num,
             claim_den)
+        del layer_nums, layer_dens
     return point
 
 

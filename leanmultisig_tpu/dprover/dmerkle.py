@@ -113,7 +113,9 @@ class DevMerkleTree:
 
     def __init__(self, leaf, full_base_width: int):
         _, jnp = _jax()
-        self.leaf = leaf
+        # note: the unpadded leaf matrix is NOT retained (self.base, the
+        # padded flat copy, serves all opens) — keeping both doubled the
+        # per-tree HBM residency
         self.is_ext = leaf.ndim == 3
         base = leaf.reshape(leaf.shape[0], -1)
         eff_w = base.shape[1]
