@@ -110,6 +110,12 @@ def bench_xmss_aggregation(n_sigs: int, prover: str,
             message, pub_keys, sigs, cfg, native_check=False)
         dt = min(dt, time.perf_counter() - t0)
         n_done += 1
+        print(f"[bench] rep {n_done}: {time.perf_counter() - t0:.1f}s "
+              f"(deadline in {deadline_ts - time.time():.0f}s)",
+              file=sys.stderr)
+        if prover == "device" and n_done == 1:
+            from leanmultisig_tpu.utils.aot_cache import STATS
+            print(f"[bench] aot stats: {STATS}", file=sys.stderr)
         # next-rep cost estimate: the first rep carries residual
         # per-program loads later reps don't pay (measured: rep1 ~90 s,
         # steady ~15-25 s), so cap the estimate at 45 s — stopping on
@@ -171,24 +177,36 @@ def _device_child(n_sigs: int) -> int:
     return 0
 
 
-def _run_device_subprocess(n_sigs: int, budget_s: float) -> dict | None:
+def _spawn_device_subprocess(n_sigs: int, budget_s: float):
     env = dict(os.environ)
     env["BENCH_CHILD_BUDGET_S"] = str(budget_s)
     try:
-        r = subprocess.run(
+        return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--device-child",
              str(n_sigs)],
             stdout=subprocess.PIPE, stderr=None, text=True,
-            timeout=budget_s,
             cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
-    except (subprocess.TimeoutExpired, OSError) as e:
-        print(f"[bench] device attempt failed: {type(e).__name__}",
+    except OSError as e:
+        print(f"[bench] device spawn failed: {type(e).__name__}",
               file=sys.stderr)
         return None
-    if r.returncode != 0:
-        print(f"[bench] device child rc={r.returncode}", file=sys.stderr)
+
+
+def _collect_device_result(proc, timeout_s: float) -> dict | None:
+    if proc is None:
         return None
-    for line in reversed((r.stdout or "").strip().splitlines()):
+    try:
+        out, _ = proc.communicate(timeout=max(timeout_s, 1))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        print("[bench] device attempt failed: TimeoutExpired",
+              file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"[bench] device child rc={proc.returncode}", file=sys.stderr)
+        return None
+    for line in reversed((out or "").strip().splitlines()):
         try:
             parsed = json.loads(line)
             if isinstance(parsed, dict) and "metric" in parsed:
@@ -208,23 +226,31 @@ def main() -> None:
     forced = os.environ.get("BENCH_PROVER")
     host_reserve = float(os.environ.get("BENCH_HOST_RESERVE_S", "120"))
 
-    result = None
+    # The device child and the host bench run CONCURRENTLY: the host
+    # result is the guaranteed fallback (ready in ~2 min), the device
+    # child (prewarm-dominated, mostly tunnel-wait) is preferred if it
+    # delivers before the deadline. Worst case wall = the child budget,
+    # not child + host as in the old sequential scheme.
+    proc = None
     if forced != "host":
-        budget = _remaining() - host_reserve
-        if forced == "device":
-            budget = _remaining() - 5
+        budget = _remaining() - 30
         if budget > 60:
-            result = _run_device_subprocess(n_sigs, budget)
+            proc = _spawn_device_subprocess(n_sigs, budget)
 
-    if result is None and forced != "device":
+    host_result = None
+    if forced != "device":
         try:
-            result = bench_xmss_aggregation(
+            host_result = bench_xmss_aggregation(
                 n_sigs, "host",
                 deadline_ts=max(_deadline() - 20, time.time() + 45))
         except Exception as e:  # report a failed bench honestly
-            result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
-                      "unit": "sigs/s", "vs_baseline": 0,
-                      "error": str(e)[:200]}
+            host_result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
+                           "unit": "sigs/s", "vs_baseline": 0,
+                           "error": str(e)[:200]}
+
+    result = _collect_device_result(proc, _remaining() - 5)
+    if result is None:
+        result = host_result
     if result is None:
         result = {"metric": "xmss_sigs_proven_per_s", "value": 0,
                   "unit": "sigs/s", "vs_baseline": 0,

@@ -29,12 +29,19 @@ def save_signers(path: str, signers: list) -> None:
     os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
 
 
-def load_signers(path: str) -> list:
+def load_signers(path: str, limit: int | None = None) -> list:
+    """First min(limit, stored) signers; the whole file when limit=None.
+
+    The cache accretes to the largest regime ever run (ref-regime: 1550
+    signers); a 70-signer bench must not pay 1550 decompress+reconstructs
+    (measured: 52 s full load vs ~2 s for the first 70)."""
     from ..xmss.scheme import XmssSecretKey
     out = []
     try:
         with np.load(path, allow_pickle=False) as z:
             n = int(z["n"][0])
+            if limit is not None:
+                n = min(n, limit)
             for i in range(n):
                 meta = z[f"s{i}_meta"]
                 sk = XmssSecretKey(

@@ -144,6 +144,7 @@ class _CompiledCall:
         try:
             return self._compiled(*args)
         except Exception:
+            STATS["precompiled_fallback"] += 1
             self._fallback = self._plain_factory()
             return self._fallback(*args)
 
@@ -203,6 +204,7 @@ class AotJit:
         _USED.append(base)
         pre = _PRELOADED.get(base)
         if pre is not None:
+            STATS["preloaded_hit"] += 1
             return _CompiledCall(pre, self._plain_jit)
         debug = os.environ.get("LMS_AOT_DEBUG") == "1"
         if os.path.exists(path):
@@ -212,6 +214,8 @@ class AotJit:
                 with open(path, "rb") as f:
                     ex = jax.export.deserialize(bytearray(f.read()))
                 out = jax.jit(ex.call)
+                STATS["disk_hit"] += 1
+                STATS["disk_hit_s"] += time.perf_counter() - t0
                 if debug:
                     print(f"[aot] HIT  {self._fn.__qualname__} "
                           f"{time.perf_counter() - t0:.2f}s", flush=True)
@@ -226,12 +230,14 @@ class AotJit:
                     pass
         elif debug:
             print(f"[aot] MISS {self._fn.__qualname__}", flush=True)
+        STATS["disk_miss"] += 1
         jitted = self._plain_jit()
         try:
             import time
             t0 = time.perf_counter()
             ex = jax.export.export(jitted)(*args)
             blob = ex.serialize()
+            STATS["export_s"] += time.perf_counter() - t0
             if debug:
                 print(f"[aot] EXPORT {self._fn.__qualname__} "
                       f"{time.perf_counter() - t0:.2f}s", flush=True)
@@ -293,6 +299,12 @@ class AotJit:
 
 _PRELOADED: dict = {}
 _USED: list = []
+# observability: where first-run time goes (printed by bench on stderr)
+STATS: dict = {"preloaded_hit": 0, "precompiled_fallback": 0,
+               "disk_hit": 0, "disk_miss": 0, "disk_hit_s": 0.0,
+               "export_s": 0.0,
+               "prewarm_deser_s": 0.0, "prewarm_compile_s": 0.0,
+               "prewarm_exec_s": 0.0}
 
 
 def record_manifest(tag: str) -> None:
@@ -337,10 +349,12 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
     backend = jax.default_backend()
 
     def load(name: str):
+        import time
         fpath = os.path.join(cache_dir(), name)
         if not os.path.exists(fpath):
             return None
         try:
+            t0 = time.perf_counter()
             with open(fpath, "rb") as fh:
                 ex = jax.export.deserialize(bytearray(fh.read()))
             if backend not in {p.lower() for p in ex.platforms}:
@@ -349,7 +363,9 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
                 ex.in_tree,
                 [jax.ShapeDtypeStruct(a.shape, a.dtype)
                  for a in ex.in_avals])
+            t1 = time.perf_counter()
             compiled = jax.jit(ex.call).lower(*args[0], **args[1]).compile()
+            t2 = time.perf_counter()
             out = None
             if run_once:  # force the device program load off the hot path
                 import jax.numpy as jnp
@@ -360,6 +376,10 @@ def prewarm(tag: str, max_workers: int | None = None) -> int:
                 # block per-kernel so retained outputs don't accumulate
                 jax.block_until_ready(out)
                 out = None
+            t3 = time.perf_counter()
+            STATS["prewarm_deser_s"] += t1 - t0
+            STATS["prewarm_compile_s"] += t2 - t1
+            STATS["prewarm_exec_s"] += t3 - t2
             return name, compiled, out
         except Exception:
             return None
